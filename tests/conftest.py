@@ -1,0 +1,35 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Tests never touch the real TPU — multi-chip sharding is validated on a
+virtual CPU mesh (the driver separately dry-runs the multichip path).
+
+The environment's sitecustomize registers the axon TPU backend and forces
+``jax_platforms=axon`` programmatically, so plain env vars don't stick;
+``jax.config.update`` after import does.  XLA_FLAGS must be set before the
+CPU client is instantiated (first ``jax.devices()`` anywhere), which this
+module-level code guarantees under pytest.
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pathlib
+
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_root():
+    if not REFERENCE.exists():
+        pytest.skip("reference corpus not available")
+    return REFERENCE

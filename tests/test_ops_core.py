@@ -1,0 +1,155 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapping_private_tpu.core import PointCloud, se3_exp, se3_log, se3_apply, se3_inverse
+from mapping_private_tpu.core.voxelgrid import voxelize
+from mapping_private_tpu.ops import (
+    knn_bruteforce,
+    build_grid_hash,
+    knn_grid,
+    radius_count_grid,
+    voxel_downsample,
+    estimate_normals,
+    smallest_eigenvector_3x3,
+)
+
+
+def _rand_cloud(n=500, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(-scale, scale, size=(n, 3)).astype(np.float32)
+    return xyz
+
+
+class TestSE3:
+    def test_exp_log_roundtrip(self):
+        rng = np.random.default_rng(1)
+        for _ in range(5):
+            xi = jnp.asarray(rng.normal(scale=0.5, size=(6,)).astype(np.float32))
+            T = se3_exp(xi)
+            xi2 = se3_log(T)
+            np.testing.assert_allclose(xi, xi2, atol=1e-3)
+
+    def test_inverse(self):
+        xi = jnp.asarray(np.array([0.1, -0.2, 0.3, 0.2, 0.1, -0.1], np.float32))
+        T = se3_exp(xi)
+        np.testing.assert_allclose(T @ se3_inverse(T), np.eye(4), atol=1e-5)
+
+    def test_apply(self):
+        xi = jnp.asarray(np.array([1.0, 2.0, 3.0, 0, 0, 0], np.float32))
+        p = jnp.zeros((4, 3))
+        out = se3_apply(se3_exp(xi), p)
+        np.testing.assert_allclose(out, np.tile([1, 2, 3], (4, 1)), atol=1e-6)
+
+
+class TestKNN:
+    def test_bruteforce_matches_numpy(self):
+        xyz = _rand_cloud(300)
+        cloud = PointCloud.from_numpy(xyz)
+        k = 8
+        idx, sq = jax.jit(lambda c: knn_bruteforce(c.padded_xyz(), c.padded_xyz(), c.mask, k, True))(cloud)
+        idx, sq = np.asarray(idx), np.asarray(sq)
+        d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        ref = np.sort(d2, axis=1)[:, :k]
+        np.testing.assert_allclose(np.sort(sq[:300], 1), ref, rtol=1e-4, atol=1e-6)
+
+    def test_grid_matches_bruteforce(self):
+        xyz = _rand_cloud(400, seed=2)
+        cloud = PointCloud.from_numpy(xyz)
+        pts = cloud.padded_xyz()
+        k = 5
+        # cell 0.4 on a [-1,1] cube: stencil holds plenty of points
+        grid = build_grid_hash(pts, cloud.mask, 0.4)
+        gi, gs = knn_grid(grid, pts, k, cap_per_cell=64,
+                          self_idx=jnp.arange(pts.shape[0], dtype=jnp.int32))
+        bi, bs = knn_bruteforce(pts, pts, cloud.mask, k, exclude_self=True)
+        # distances must match where the true k-th nbr is within one cell
+        gs, bs = np.asarray(gs)[:400], np.asarray(bs)[:400]
+        within = bs[:, -1] <= 0.4 * 0.4
+        np.testing.assert_allclose(gs[within], bs[within], rtol=1e-4, atol=1e-6)
+
+    def test_radius_count(self):
+        xyz = _rand_cloud(200, seed=3)
+        cloud = PointCloud.from_numpy(xyz)
+        pts = cloud.padded_xyz()
+        r = 0.3
+        grid = build_grid_hash(pts, cloud.mask, r)
+        cnt = np.asarray(radius_count_grid(grid, pts, r, cap_per_cell=128))[:200]
+        d2 = ((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(-1)
+        ref = (d2 <= r * r).sum(1)
+        np.testing.assert_array_equal(cnt, ref)
+
+
+class TestVoxel:
+    def test_downsample_centroids(self):
+        xyz = _rand_cloud(1000, seed=4)
+        cloud = PointCloud.from_numpy(xyz)
+        out = jax.jit(lambda c: voxel_downsample(c, 0.25, 1024))(cloud)
+        res = out.to_numpy()
+        # number of occupied voxels matches numpy unique
+        cells = np.floor(xyz / 0.25).astype(np.int64)
+        uniq = np.unique(cells, axis=0)
+        assert res["xyz"].shape[0] == uniq.shape[0]
+        # each centroid is the mean of its voxel's points
+        lin = {tuple(c): i for i, c in enumerate(uniq)}
+        sums = np.zeros((len(uniq), 3))
+        cnts = np.zeros(len(uniq))
+        for p, c in zip(xyz, cells):
+            i = lin[tuple(c)]
+            sums[i] += p
+            cnts[i] += 1
+        ref = sums / cnts[:, None]
+        got = res["xyz"]
+        # match rows by cell id of the centroid
+        got_cells = np.floor(got / 0.25).astype(np.int64)
+        order = np.array([lin[tuple(c)] for c in got_cells])
+        np.testing.assert_allclose(got, ref[order], rtol=1e-4, atol=1e-5)
+
+    def test_dense_voxelize(self):
+        xyz = np.array([[0.05, 0.05, 0.05], [0.15, 0.05, 0.05], [0.05, 0.05, 0.05]],
+                       np.float32)
+        cloud = PointCloud.from_numpy(xyz, channels={"r": np.array([10., 20., 30.])})
+        vg = voxelize(cloud, 0.1, jnp.zeros(3), (4, 4, 4), channels=("r",))
+        cnt = np.asarray(vg.count)
+        assert cnt[0, 0, 0] == 2 and cnt[1, 0, 0] == 1
+        assert cnt.sum() == 3
+        np.testing.assert_allclose(np.asarray(vg.mean("r"))[0, 0, 0], 20.0)
+
+
+class TestNormals:
+    def test_eig3x3_matches_numpy(self):
+        rng = np.random.default_rng(5)
+        B = rng.normal(size=(50, 3, 3)).astype(np.float32)
+        A = B @ B.transpose(0, 2, 1)
+        ev, vec = smallest_eigenvector_3x3(jnp.asarray(A))
+        ev, vec = np.asarray(ev), np.asarray(vec)
+        ref = np.linalg.eigvalsh(A)
+        np.testing.assert_allclose(ev, ref, rtol=1e-3, atol=1e-3)
+        # vec is an eigenvector for the smallest eigenvalue
+        res = np.einsum("nij,nj->ni", A, vec) - ev[:, :1] * vec
+        assert np.abs(res).max() < 1e-2
+
+    def test_plane_normals(self):
+        rng = np.random.default_rng(6)
+        xy = rng.uniform(-1, 1, size=(400, 2)).astype(np.float32)
+        xyz = np.concatenate([xy, np.full((400, 1), 0.5, np.float32)], axis=1)
+        cloud = PointCloud.from_numpy(xyz)
+        out = estimate_normals(cloud, k=10, viewpoint=jnp.array([0.0, 0.0, 10.0]))
+        nrm = np.asarray(out.channel("normal"))[:400]
+        curv = np.asarray(out.channel("curvature"))[:400]
+        np.testing.assert_allclose(np.abs(nrm[:, 2]), 1.0, atol=1e-3)
+        assert (nrm[:, 2] > 0).all()  # flipped toward viewpoint above
+        assert curv.max() < 1e-3
+
+    def test_grid_path_on_sphere(self):
+        rng = np.random.default_rng(7)
+        v = rng.normal(size=(600, 3)).astype(np.float32)
+        xyz = v / np.linalg.norm(v, axis=1, keepdims=True)
+        cloud = PointCloud.from_numpy(xyz)
+        out = estimate_normals(cloud, k=8, use_grid=True, cell_size=0.3,
+                               viewpoint=jnp.zeros(3))
+        nrm = np.asarray(out.channel("normal"))[:600]
+        # normal should be radial (pointing inward toward viewpoint at origin)
+        cosine = np.abs((nrm * xyz).sum(1))
+        assert np.median(cosine) > 0.99
