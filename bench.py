@@ -1,0 +1,146 @@
+"""Headline benchmark: pairwise scan registration throughput (frames/s).
+
+Compares the TPU point-to-plane ICP (registration/icp.py — all-point
+correspondence via one MXU matmul per iteration) against a faithful
+single-core CPU re-implementation of the reference's `Registration` op
+(cloud_algos/src/registration.cpp): 100 fixed iterations, 1% random
+correspondence sampling, kd-tree NN (scipy cKDTree stands in for ANN),
+point-to-plane linearized solve via SVD pseudo-inverse.
+
+Prints ONE JSON line:
+  {"metric": "icp_registration", "value": <tpu fps>, "unit": "frames/s",
+   "vs_baseline": <tpu fps / reference cpu fps>}
+
+The CPU baseline is measured once and cached in BENCH_BASELINE_LOCAL.json.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+N_POINTS = 20000
+ICP_ITERS = 20  # TPU: every point matched per iteration → fewer sweeps needed
+REF_ITERS = 100  # reference's fixed count (registration.cpp:150)
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE_LOCAL.json")
+
+
+def make_pair(n=N_POINTS, seed=0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(-2, 2, (n, 2))
+    z = 0.4 * np.sin(1.8 * xy[:, 0]) + 0.3 * np.cos(2.2 * xy[:, 1])
+    tgt = np.column_stack([xy, z]).astype(np.float32)
+    # ground-truth small motion
+    from mapping_private_tpu.core.se3 import se3_exp
+    import jax.numpy as jnp
+
+    xi = np.array([0.05, -0.04, 0.03, 0.02, -0.02, 0.03], np.float32)
+    T = np.asarray(se3_exp(jnp.asarray(xi)))
+    src = (tgt - T[:3, 3]) @ T[:3, :3]  # inverse transform
+    # normals: analytic, n ∝ (−∂z/∂x, −∂z/∂y, 1)
+    dzdx = 0.4 * 1.8 * np.cos(1.8 * xy[:, 0])
+    dzdy = -0.3 * 2.2 * np.sin(2.2 * xy[:, 1])
+    nrm = np.column_stack([-dzdx, -dzdy, np.ones(n)])
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    return src.astype(np.float32), tgt, nrm.astype(np.float32), T
+
+
+def reference_cpu_icp_fps(src, tgt, normals):
+    """registration.cpp-faithful single-core ICP, returns frames/s."""
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(0)
+    n = len(src)
+    nr_samples = max(6, n // 100)  # 1% sampling (registration.cpp:113)
+    t0 = time.perf_counter()
+    tree = cKDTree(tgt)  # setTarget builds the kd-tree (:171-180)
+    T = np.eye(4)
+    for _ in range(REF_ITERS):
+        sel = rng.choice(n, nr_samples, replace=False)
+        p = src[sel] @ T[:3, :3].T + T[:3, 3]
+        _, idx = tree.query(p)  # per-sample NN (:128)
+        q = tgt[idx]
+        nn = normals[idx]
+        # point-to-plane linearization, SVD pseudo-inverse (:40-107)
+        A = np.concatenate([np.cross(p, nn), nn], axis=1)
+        b = np.sum(nn * (q - p), axis=1)
+        x = np.linalg.pinv(A) @ b
+        cx, cy, cz = np.cos(x[:3])
+        sx, sy, sz = np.sin(x[:3])
+        R = np.array(
+            [
+                [cy * cz, sx * sy * cz - cx * sz, cx * sy * cz + sx * sz],
+                [cy * sz, sx * sy * sz + cx * cz, cx * sy * sz - sx * cz],
+                [-sy, sx * cy, cx * cy],
+            ]
+        )
+        dT = np.eye(4)
+        dT[:3, :3] = R
+        dT[:3, 3] = x[3:]
+        T = dT @ T
+    dt = time.perf_counter() - t0
+    return 1.0 / dt
+
+
+def tpu_icp_fps(src, tgt, normals):
+    import jax
+    import jax.numpy as jnp
+    from mapping_private_tpu.registration.icp import icp_point_to_plane
+
+    mask = jnp.ones((len(src),), bool)
+    s = jnp.asarray(src)
+    t = jnp.asarray(tgt)
+    nr = jnp.asarray(normals)
+
+    def run():
+        return icp_point_to_plane(
+            s, mask, t, mask, nr, iters=ICP_ITERS, max_corr_dist=0.5
+        )
+
+    res = run()  # compile + warmup
+    res.transform.block_until_ready()
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = run()
+    res.transform.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return 1.0 / dt, res
+
+
+def main():
+    src, tgt, normals, T_true = make_pair()
+
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            ref_fps = json.load(f)["reference_cpu_fps"]
+    else:
+        ref_fps = reference_cpu_icp_fps(src, tgt, normals)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(
+                {"reference_cpu_fps": ref_fps, "n_points": N_POINTS,
+                 "protocol": "registration.cpp 100-iter 1%-sample kdtree ICP"},
+                f,
+            )
+
+    fps, res = tpu_icp_fps(src, tgt, normals)
+    # sanity: converged to the true transform
+    import numpy as _np
+
+    err = _np.linalg.norm(_np.asarray(res.transform) - T_true)
+    assert err < 0.05, f"ICP diverged, |T-T_true|={err}"
+
+    print(
+        json.dumps(
+            {
+                "metric": "icp_registration",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / ref_fps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -69,7 +69,12 @@ def knn_bruteforce(
     if exclude_self:
         q = query_xyz.shape[0]
         d2 = d2.at[jnp.arange(q), jnp.arange(q)].set(_INF)
-    neg, idx = jax.lax.top_k(-d2, k)
+    if k == 1:
+        # argmin fuses far better than top_k on TPU for the NN case
+        idx = jnp.argmin(d2, axis=1)[:, None].astype(jnp.int32)
+        neg = -jnp.take_along_axis(d2, idx, axis=1)
+    else:
+        neg, idx = jax.lax.top_k(-d2, k)
     sq = -neg
     valid = jnp.isfinite(sq)
     return jnp.where(valid, idx, -1).astype(jnp.int32), jnp.where(valid, sq, _INF)

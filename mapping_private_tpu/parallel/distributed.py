@@ -1,0 +1,105 @@
+"""Distributed registration — sharded Gauss-Newton over a scan batch.
+
+The multi-chip mapping step: a batch of (source, target) scan pairs is
+sharded over the ``dp`` mesh axis; within each pair, *source points*
+shard over ``sp``, so each device scores its slice of correspondences
+against the (replicated) target and contributes a partial 6×6 normal
+equation.  One ``psum`` over ``sp`` assembles the full system — the
+classic reduce-then-solve pattern of distributed GN (the Schur-reduced
+pose-graph BA in registration/pose_graph.py uses the same reduction over
+keyframe shards).
+
+This file is the template the driver's ``dryrun_multichip`` exercises on
+a virtual CPU mesh; on hardware the same code spans a pod slice over ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from mapping_private_tpu.core.se3 import se3_exp, se3_apply
+
+
+def _pair_partial_system(
+    src: jax.Array,  # (n_local, 3) this device's slice of source points
+    src_mask: jax.Array,  # (n_local,)
+    tgt: jax.Array,  # (N, 3) full target (replicated over sp)
+    tgt_mask: jax.Array,  # (N,)
+    tgt_normals: jax.Array,  # (N, 3)
+    T: jax.Array,  # (4,4) current pose estimate
+    max_corr_dist: float,
+    huber_delta: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Partial (H, g, count) from this shard's correspondences."""
+    p = se3_apply(T, src)
+    a2 = jnp.sum(p * p, axis=-1, keepdims=True)
+    b2 = jnp.sum(tgt * tgt, axis=-1, keepdims=True).T
+    d2 = jnp.maximum(a2 + b2 - 2.0 * (p @ tgt.T), 0.0)
+    d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
+    sq = jnp.min(d2, axis=1)
+    idx = jnp.argmin(d2, axis=1)
+    ok = src_mask & (sq <= max_corr_dist * max_corr_dist)
+    q = tgt[idx]
+    n = tgt_normals[idx]
+    r = jnp.sum(n * (p - q), axis=-1)
+    absr = jnp.abs(r)
+    w = jnp.where(absr <= huber_delta, 1.0, huber_delta / jnp.maximum(absr, 1e-12))
+    w = jnp.where(ok, w, 0.0)
+    J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)
+    Jw = J * w[:, None]
+    return J.T @ Jw, Jw.T @ r, jnp.sum(ok.astype(jnp.int32))
+
+
+def make_sharded_registration_step(
+    mesh: Mesh,
+    max_corr_dist: float = 0.25,
+    huber_delta: float = 0.05,
+    damping: float = 1e-6,
+):
+    """Build a jitted step: (src (B,N,3), src_mask, tgt (B,N,3), tgt_mask,
+    tgt_normals, poses (B,4,4)) → updated poses (B,4,4).
+
+    B shards over dp; source points shard over sp; target replicated over
+    sp.  Returns (step_fn, input_shardings) so callers can device_put.
+    """
+
+    def local_step(src, src_mask, tgt, tgt_mask, tgt_normals, poses):
+        # shapes here are per-device: (B/dp, N/sp, 3), targets (B/dp, N, 3)
+        def one_pair(s, sm, t, tm, tn, T):
+            H, g, cnt = _pair_partial_system(
+                s, sm, t, tm, tn, T, max_corr_dist, huber_delta
+            )
+            return H, g, cnt
+
+        H, g, cnt = jax.vmap(one_pair)(src, src_mask, tgt, tgt_mask, tgt_normals, poses)
+        # assemble the full normal equations across the sp shards
+        H = jax.lax.psum(H, "sp")
+        g = jax.lax.psum(g, "sp")
+        cnt = jax.lax.psum(cnt, "sp")
+
+        def solve_one(H1, g1, T1):
+            xi = -jnp.linalg.solve(H1 + damping * jnp.eye(6, dtype=H1.dtype), g1)
+            return se3_exp(xi) @ T1
+
+        new_poses = jax.vmap(solve_one)(H, g, poses)
+        return new_poses, cnt
+
+    specs_in = (
+        P("dp", "sp", None),  # src
+        P("dp", "sp"),  # src_mask
+        P("dp", None, None),  # tgt (replicated over sp)
+        P("dp", None),  # tgt_mask
+        P("dp", None, None),  # tgt_normals
+        P("dp", None, None),  # poses
+    )
+    specs_out = (P("dp", None, None), P("dp"))
+    step = jax.jit(
+        shard_map(local_step, mesh=mesh, in_specs=specs_in, out_specs=specs_out)
+    )
+    shardings = tuple(NamedSharding(mesh, s) for s in specs_in)
+    return step, shardings

@@ -1,0 +1,34 @@
+"""Device-mesh helpers.
+
+The reference has no device parallelism to mirror (ROS nodes on one
+machine; SURVEY §2.6) — this is the new scaling dimension: scan batches
+shard over ``dp`` (data parallel), points within a scan shard over ``sp``
+(spatial/sequence parallel), and voxel-map blocks shard over ``dp×sp``
+jointly.  Collectives ride ICI via psum/all_gather inserted by XLA.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    axis_sizes: Optional[Tuple[int, int]] = None,
+    axis_names: Sequence[str] = ("dp", "sp"),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (dp, sp) mesh over available devices.
+
+    Without explicit sizes, uses all devices on ``dp`` and 1 on ``sp``.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if axis_sizes is None:
+        axis_sizes = (len(devs), 1)
+    dp, sp = axis_sizes
+    if dp * sp > len(devs):
+        raise ValueError(f"mesh {axis_sizes} needs {dp*sp} devices, have {len(devs)}")
+    grid = np.array(devs[: dp * sp]).reshape(dp, sp)
+    return Mesh(grid, tuple(axis_names))

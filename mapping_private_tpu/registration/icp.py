@@ -1,0 +1,182 @@
+"""Point-to-plane ICP — batched correspondence gather + 6×6 Gauss-Newton.
+
+TPU re-design of `Registration` (cloud_algos/src/registration.cpp):
+the reference samples 1% random correspondences per iteration, runs a
+kd-tree NN per sample (:128), builds an n×6 system and solves it with a
+full SVD pseudo-inverse (:40-107), 100 fixed iterations (:150).
+
+Here every live source point is matched every iteration (one MXU matmul
+for the distance matrix, or a grid-hash gather for big clouds), residuals
+are robustly weighted (Huber), the 6×6 normal equations are built by one
+einsum reduction, and the pose update is a proper SE(3) exponential
+rather than Euler-angle composition (:80-102).  The loop is a
+`lax.scan` with a fixed, much smaller iteration count — each iteration
+uses all the data, so convergence needs far fewer sweeps.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mapping_private_tpu.core.se3 import se3_exp, se3_apply
+from mapping_private_tpu.ops.neighbors import (
+    knn_bruteforce,
+    build_grid_hash,
+    knn_grid,
+    GridHash,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ICPResult:
+    transform: jax.Array  # (4,4) source → target
+    rmse: jax.Array  # () residual RMS over accepted correspondences
+    num_corr: jax.Array  # () int32 accepted correspondences (last iter)
+    per_iter_rmse: jax.Array  # (iters,)
+
+
+def _gn_step(
+    src_xyz: jax.Array,
+    src_mask: jax.Array,
+    tgt_xyz: jax.Array,
+    tgt_normals: jax.Array,
+    T: jax.Array,
+    nn_fn,
+    max_corr_dist: float,
+    huber_delta: float,
+    damping: float,
+):
+    p = se3_apply(T, src_xyz)
+    idx, sq = nn_fn(p)  # (N,) int32, (N,)
+    ok = src_mask & (idx >= 0) & (sq <= max_corr_dist * max_corr_dist)
+    q = tgt_xyz[jnp.maximum(idx, 0)]
+    n = tgt_normals[jnp.maximum(idx, 0)]
+    r = jnp.sum(n * (p - q), axis=-1)  # (N,) point-to-plane residual
+    # Huber weights
+    absr = jnp.abs(r)
+    w = jnp.where(absr <= huber_delta, 1.0, huber_delta / jnp.maximum(absr, 1e-12))
+    w = jnp.where(ok, w, 0.0)
+    # J_i = [n ; p × n] for update T ← exp(ξ)·T
+    J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (N,6)
+    Jw = J * w[:, None]
+    H = J.T @ Jw  # (6,6)
+    g = Jw.T @ r  # (6,)
+    H = H + damping * jnp.eye(6, dtype=H.dtype)
+    xi = -jnp.linalg.solve(H, g)
+    T_new = se3_exp(xi) @ T
+    cnt = jnp.sum(ok.astype(jnp.int32))
+    rmse = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1e-12))
+    return T_new, rmse, cnt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "nn_backend", "cap_per_cell", "max_corr_dist", "huber_delta", "damping", "grid_cell"),
+)
+def icp_point_to_plane(
+    src_xyz: jax.Array,
+    src_mask: jax.Array,
+    tgt_xyz: jax.Array,
+    tgt_mask: jax.Array,
+    tgt_normals: jax.Array,
+    init_T: Optional[jax.Array] = None,
+    iters: int = 20,
+    max_corr_dist: float = 0.25,
+    huber_delta: float = 0.05,
+    damping: float = 1e-6,
+    nn_backend: str = "auto",
+    grid_cell: float = 0.25,
+    cap_per_cell: int = 16,
+) -> ICPResult:
+    """Align source onto target.  All shapes static.
+
+    tgt_normals: (N,3) unit normals for the target (estimate via
+    ops.normals.estimate_normals if the scan lacks them).
+
+    nn_backend: 'pallas' (fused VMEM-tiled kernel, TPU only), 'xla'
+    (dense distance matrix + argmin), 'grid' (grid-hash stencil — wins
+    on CPU / huge clouds).  'auto' → pallas on TPU, xla elsewhere.
+    """
+    T0 = jnp.eye(4, dtype=src_xyz.dtype) if init_T is None else init_T
+
+    if nn_backend == "auto":
+        # axon = the tunneled TPU PJRT platform in this environment
+        nn_backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+
+    if nn_backend == "grid":
+        grid = build_grid_hash(tgt_xyz, tgt_mask, grid_cell)
+
+        def nn_fn(p):
+            idx, sq = knn_grid(grid, p, k=1, cap_per_cell=cap_per_cell)
+            return idx[:, 0], sq[:, 0]
+
+    elif nn_backend == "pallas":
+        # NN + match-gather fused in one pallas kernel (the part XLA does
+        # badly); the dense J/H math stays in XLA (the part it does well).
+        from mapping_private_tpu.ops.pallas_nn import nn_gather_pallas
+        from mapping_private_tpu.core.cloud import PAD_COORD
+
+        tgt_padded = jnp.where(tgt_mask[:, None], tgt_xyz, PAD_COORD)
+        nrm_padded = jnp.where(tgt_mask[:, None], tgt_normals, 0.0)
+
+        def fused_body(T, _):
+            p = se3_apply(T, src_xyz)
+            p = jnp.where(src_mask[:, None], p, -PAD_COORD)
+            sq, q, n = nn_gather_pallas(p, tgt_padded, nrm_padded)
+            ok = src_mask & (sq <= max_corr_dist * max_corr_dist)
+            r = jnp.sum(n * (p - q), axis=-1)
+            absr = jnp.abs(r)
+            w = jnp.where(
+                absr <= huber_delta, 1.0, huber_delta / jnp.maximum(absr, 1e-12)
+            )
+            w = jnp.where(ok, w, 0.0)
+            J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)
+            Jw = J * w[:, None]
+            H = jax.lax.dot_general(
+                J, Jw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            g = Jw.T @ r
+            H = H + damping * jnp.eye(6, dtype=H.dtype)
+            xi = -jnp.linalg.solve(H, g)
+            T_new = se3_exp(xi) @ T
+            cnt = jnp.sum(ok.astype(jnp.int32))
+            rmse = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1e-12))
+            return T_new, (rmse, cnt)
+
+        T, (rmses, cnts) = jax.lax.scan(fused_body, T0, None, length=iters)
+        return ICPResult(
+            transform=T, rmse=rmses[-1], num_corr=cnts[-1], per_iter_rmse=rmses
+        )
+
+    else:
+
+        def nn_fn(p):
+            idx, sq = knn_bruteforce(p, tgt_xyz, tgt_mask, k=1)
+            return idx[:, 0], sq[:, 0]
+
+    def body(T, _):
+        T_new, rmse, cnt = _gn_step(
+            src_xyz, src_mask, tgt_xyz, tgt_normals, T, nn_fn,
+            max_corr_dist, huber_delta, damping,
+        )
+        return T_new, (rmse, cnt)
+
+    T, (rmses, cnts) = jax.lax.scan(body, T0, None, length=iters)
+    return ICPResult(
+        transform=T, rmse=rmses[-1], num_corr=cnts[-1], per_iter_rmse=rmses
+    )
+
+
+def ate_rmse(traj_a: jax.Array, traj_b: jax.Array) -> jax.Array:
+    """Absolute trajectory error between (K,4,4) pose arrays (translation
+    RMS after no alignment — callers pre-align if needed)."""
+    ta = traj_a[:, :3, 3]
+    tb = traj_b[:, :3, 3]
+    return jnp.sqrt(jnp.mean(jnp.sum((ta - tb) ** 2, axis=-1)))

@@ -1,0 +1,58 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_dryrun_multichip_8cpu():
+    import __graft_entry__ as ge
+
+    assert len(jax.devices()) >= 8
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    plane, found, sizes = jax.jit(fn)(*args)
+    assert plane.shape == (4,)
+    assert bool(found)
+
+
+def test_sharded_step_matches_single_device():
+    from mapping_private_tpu.parallel.mesh import make_mesh
+    from mapping_private_tpu.parallel.distributed import (
+        make_sharded_registration_step,
+        _pair_partial_system,
+    )
+    from mapping_private_tpu.core.se3 import se3_exp
+
+    rng = np.random.default_rng(1)
+    B, N = 4, 512
+    xy = rng.uniform(-1, 1, (B, N, 2))
+    z = 0.3 * np.sin(2.5 * xy[..., 0]) + 0.2 * np.cos(3.0 * xy[..., 1])
+    tgt = np.concatenate([xy, z[..., None]], axis=-1).astype(np.float32)
+    src = (tgt + np.array([0.02, -0.01, 0.015], np.float32)).astype(np.float32)
+    normals = np.tile(np.array([0, 0, 1.0], np.float32), (B, N, 1))
+    mask = np.ones((B, N), bool)
+    poses = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+
+    mesh = make_mesh((4, 2), devices=jax.devices()[:8])
+    step, shardings = make_sharded_registration_step(mesh)
+    args = [
+        jax.device_put(jnp.asarray(a), s)
+        for a, s in zip([src, mask, tgt, mask, normals, poses], shardings)
+    ]
+    new_poses, cnt = step(*args)
+
+    # single-device reference
+    def ref_one(s, sm, t, tm, tn, T):
+        H, g, _ = _pair_partial_system(s, sm, t, tm, tn, T, 0.25, 0.05)
+        xi = -jnp.linalg.solve(H + 1e-6 * jnp.eye(6), g)
+        return se3_exp(xi) @ T
+
+    ref = jax.vmap(ref_one)(
+        jnp.asarray(src), jnp.asarray(mask), jnp.asarray(tgt),
+        jnp.asarray(mask), jnp.asarray(normals), jnp.asarray(poses),
+    )
+    np.testing.assert_allclose(np.asarray(new_poses), np.asarray(ref), atol=1e-4)
