@@ -20,7 +20,12 @@ import time
 import numpy as np
 
 N_POINTS = 20000
-ICP_ITERS = 20  # TPU: every point matched per iteration → fewer sweeps needed
+ICP_ITERS = 20  # TPU: far more correspondences per sweep → fewer sweeps
+# Source correspondences per iteration.  The reference samples 1% of the
+# cloud (200 points) per iteration (registration.cpp:113-126); we use 10%
+# (2000) — 10× the reference's correspondence density per sweep — matched
+# against the FULL target.
+SRC_SAMPLES = 2000
 REF_ITERS = 100  # reference's fixed count (registration.cpp:150)
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE_LOCAL.json")
 
@@ -87,14 +92,18 @@ def tpu_icp_fps(src, tgt, normals):
     import jax.numpy as jnp
     from mapping_private_tpu.registration.icp import icp_point_to_plane
 
-    mask = jnp.ones((len(src),), bool)
-    s = jnp.asarray(src)
+    # stride-subsample the source (same role as the reference's random 1%
+    # sampling, at 10× its density); target stays full for matching
+    stride = max(1, len(src) // SRC_SAMPLES)
+    s = jnp.asarray(src[::stride])
+    smask = jnp.ones((s.shape[0],), bool)
+    mask = jnp.ones((len(tgt),), bool)
     t = jnp.asarray(tgt)
     nr = jnp.asarray(normals)
 
     def run():
         return icp_point_to_plane(
-            s, mask, t, mask, nr, iters=ICP_ITERS, max_corr_dist=0.5
+            s, smask, t, mask, nr, iters=ICP_ITERS, max_corr_dist=0.5
         )
 
     res = run()  # compile + warmup

@@ -1,0 +1,215 @@
+"""ColorCHLAC / C3-HLAC voxel color-correlation features as tensor contractions.
+
+Re-design of the reference's per-voxel accumulation loops
+(color_chlac/include/color_chlac/color_chlac.hpp:1566-1758 — the
+rotation-invariant 117-dim layout replicated bin-for-bin here;
+c3_hlac/src/c3_hlac.cpp:253-322 is the same math behind a plugin ABI).
+
+Let occ(v) ∈ {0,1} be voxel occupancy and u(v) ∈ R⁶ the color channel
+vector [r, 255−r, g, 255−g, b, 255−b] of the voxel centroid (w(v) the
+binarized analog [r>t, 1−(r>t), g>t, …]).  Then every CHLAC bin is one
+of three tensor contractions:
+
+  0th order:      Σ_v u(v)                                  (6 dims)
+  center pairs:   Σ_v u(v) ⊗ u(v)      (upper triangle)     (21 dims)
+  neighbor pairs: Σ_v u(v) ⊗ u(v+δ)    summed over the 13
+                  half-neighborhood offsets (117) or kept
+                  per-δ (981)                                (36·|δ| dims)
+
+On TPU the neighbor sums become 13 shifted adds (S(v) = Σ_δ u(v+δ))
+followed by ONE einsum over the grid — MXU work, no per-voxel loop.
+Subdivision histograms (used by the sliding-box detector) reshape the
+grid into (s,s,s) blocks and einsum per block; neighbor products are
+attributed to the *center* voxel's block exactly as the reference does
+(computeColorCHLAC hist_idx logic, color_chlac.hpp:1464-1504).
+
+The 981-dim rotation-variant feature uses this package's own
+neighbor-major layout (offset index major, 6×6 color pair minor) — same
+information as the reference's interleaved layout, but with 90°-rotation
+permutations *derived algorithmically* (rotate_feature_981) instead of
+hand-unrolled tables (c3_hlac.cpp:49-160).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapping_private_tpu.core.voxelgrid import VoxelGrid
+
+# The reference's 13 half-neighborhood offsets, exact order
+# (color_chlac.hpp ctor / c3_hlac.cpp:180-201): 9 with dz=-1, 3 with
+# (dy=-1, dz=0), 1 with (-1, 0, 0).
+NEIGHBOR_OFFSETS_13 = tuple(
+    [(i, j, -1) for i in (-1, 0, 1) for j in (-1, 0, 1)]
+    + [(i, -1, 0) for i in (-1, 0, 1)]
+    + [(-1, 0, 0)]
+)
+
+# normalization constants (color_chlac/include/color_chlac/color_chlac.h:39-46)
+_N0 = 1.0 / 255.0
+_N1 = 1.0 / 65025.0
+_N1_RI = 1.0 / 845325.0  # 65025 * 13
+_N1_BIN_RI = 1.0 / 13.0
+
+_UPPER_TRI = [(i, j) for i in range(6) for j in range(i, 6)]  # 21 pairs
+_BIN_CENTER_PAIRS = [
+    (0, 2), (0, 3), (0, 4), (0, 5),
+    (1, 2), (1, 3), (1, 4), (1, 5),
+    (2, 4), (2, 5), (3, 4), (3, 5),
+]  # 12 pairs (color_chlac.hpp:1612-1645 bin order)
+
+
+def color_channels(
+    grid: VoxelGrid, thresholds: Tuple[int, int, int] = (127, 127, 127)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Build (X,Y,Z,6) real + binary channel tensors and occupancy."""
+    occ = grid.occupancy().astype(jnp.float32)
+    rgb = jnp.stack(
+        [grid.mean("r"), grid.mean("g"), grid.mean("b")], axis=-1
+    )  # (X,Y,Z,3), 0..255
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    u = jnp.stack([r, 255.0 - r, g, 255.0 - g, b, 255.0 - b], axis=-1)
+    u = u * occ[..., None]
+    tr, tg, tb = thresholds
+    br = (r > tr).astype(jnp.float32)
+    bg = (g > tg).astype(jnp.float32)
+    bb = (b > tb).astype(jnp.float32)
+    w = jnp.stack([br, 1.0 - br, bg, 1.0 - bg, bb, 1.0 - bb], axis=-1)
+    w = w * occ[..., None]
+    return u, w, occ
+
+
+def _shift(x: jax.Array, d: Tuple[int, int, int]) -> jax.Array:
+    """x(v + d) aligned at v, zero beyond the border.  x: (X,Y,Z,C)."""
+    out = x
+    for axis, s in enumerate(d):
+        if s == 0:
+            continue
+        out = jnp.roll(out, -s, axis=axis)
+        idx = [slice(None)] * out.ndim
+        if s > 0:
+            idx[axis] = slice(out.shape[axis] - s, None)
+        else:
+            idx[axis] = slice(0, -s)
+        out = out.at[tuple(idx)].set(0.0)
+    return out
+
+
+def neighbor_sum(x: jax.Array) -> jax.Array:
+    """S(v) = Σ_{δ∈13} x(v+δ)."""
+    return sum(_shift(x, d) for d in NEIGHBOR_OFFSETS_13)
+
+
+def _pair_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Σ_v a(v) ⊗ b(v) over the grid: (X,Y,Z,6)² → (6,6)."""
+    return jnp.einsum("xyzc,xyzd->cd", a, b)
+
+
+def colorchlac117(
+    grid: VoxelGrid, thresholds: Tuple[int, int, int] = (127, 127, 127)
+) -> jax.Array:
+    """Rotation-invariant 117-dim ColorCHLAC, bin-exact layout
+    (color_chlac.hpp addColorCHLAC_{0,1}{,_bin} RI variants)."""
+    u, w, _ = color_channels(grid, thresholds)
+    su = neighbor_sum(u)
+    sw = neighbor_sum(w)
+
+    f0 = jnp.sum(u, axis=(0, 1, 2)) * _N0  # [0..5]
+    pair_u = _pair_matrix(u, su)  # (6,6) center-major
+    f1 = pair_u.reshape(-1) * _N1_RI  # [6..41]
+    m_u = _pair_matrix(u, u)
+    f2 = jnp.stack([m_u[i, j] for i, j in _UPPER_TRI]) * _N1  # [42..62]
+    f3 = jnp.sum(w, axis=(0, 1, 2))  # [63..68], ×1
+    pair_w = _pair_matrix(w, sw)
+    f4 = pair_w.reshape(-1) * _N1_BIN_RI  # [69..104]
+    m_w = _pair_matrix(w, w)
+    f5 = jnp.stack([m_w[i, j] for i, j in _BIN_CENTER_PAIRS])  # [105..116]
+    return jnp.concatenate([f0, f1, f2, f3, f4, f5])
+
+
+def colorchlac981(
+    grid: VoxelGrid, thresholds: Tuple[int, int, int] = (127, 127, 127)
+) -> jax.Array:
+    """Rotation-variant 981-dim ColorCHLAC, neighbor-major layout:
+
+      [0..5]      Σ u                        × 1/255
+      [6..473]    for δ_k, k=0..12: flatten(Σ u(v) ⊗ u(v+δ_k)) × 1/65025
+      [474..494]  center upper-tri           × 1/65025
+      [495..500]  Σ w
+      [501..968]  per-δ bin pairs            × 1
+      [969..980]  bin center pairs           × 1
+
+    NOT bit-compatible with the reference's interleaved 981 layout
+    (c3_hlac_core.h:44-55) — same information, different order; use
+    rotate_feature_981 for the 90°-rotation group.
+    """
+    u, w, _ = color_channels(grid, thresholds)
+    parts = [jnp.sum(u, axis=(0, 1, 2)) * _N0]
+    for d in NEIGHBOR_OFFSETS_13:
+        parts.append(_pair_matrix(u, _shift(u, d)).reshape(-1) * _N1)
+    m_u = _pair_matrix(u, u)
+    parts.append(jnp.stack([m_u[i, j] for i, j in _UPPER_TRI]) * _N1)
+    parts.append(jnp.sum(w, axis=(0, 1, 2)))
+    for d in NEIGHBOR_OFFSETS_13:
+        parts.append(_pair_matrix(w, _shift(w, d)).reshape(-1))
+    m_w = _pair_matrix(w, w)
+    parts.append(jnp.stack([m_w[i, j] for i, j in _BIN_CENTER_PAIRS]))
+    return jnp.concatenate(parts)
+
+
+def _rotation_matrix(mode: str) -> np.ndarray:
+    """90° rotation matrices: mode 1 = +90° about z, 2 = +90° about y,
+    3 = +90° about x (generators of the 24-element cube rotation group)."""
+    if mode == "z":
+        return np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]])
+    if mode == "y":
+        return np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]])
+    if mode == "x":
+        return np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]])
+    raise ValueError(mode)
+
+
+@functools.lru_cache(maxsize=None)
+def _rotation_permutation_981(mode: str) -> np.ndarray:
+    """Permutation perm such that feature_rotated[i] = feature[perm[i]].
+
+    Under rotation R, Σ u(v)⊗u(v+δ) (pair index (c1,c2) at offset δ)
+    maps to the entry at offset R·δ; when R·δ falls in the *negative*
+    half-neighborhood, use −R·δ with (c1,c2) transposed (the sum over v
+    re-indexes symmetrically).  Color channels are unaffected.
+    Derived algorithmically — replaces the reference's hand-unrolled
+    tables (c3_hlac.cpp:49-160).
+    """
+    R = _rotation_matrix(mode)
+    offs = [np.array(d) for d in NEIGHBOR_OFFSETS_13]
+    off_index = {tuple(d): k for k, d in enumerate(NEIGHBOR_OFFSETS_13)}
+    perm = np.arange(981)
+
+    def block_perm(base):
+        # rotated feature's δ-block k comes from source block k_src
+        for k, d in enumerate(offs):
+            rd = R.T @ d  # offset in source frame corresponding to target δ
+            swap = False
+            if tuple(rd) not in off_index:
+                rd = -rd
+                swap = True
+            ks = off_index[tuple(rd)]
+            for c1 in range(6):
+                for c2 in range(6):
+                    dst = base + k * 36 + c1 * 6 + c2
+                    src = base + ks * 36 + ((c2 * 6 + c1) if swap else (c1 * 6 + c2))
+                    perm[dst] = src
+
+    block_perm(6)
+    block_perm(501)
+    return perm
+
+
+def rotate_feature_981(feature: jax.Array, mode: str) -> jax.Array:
+    """Feature vector of the voxel grid rotated by 90° about an axis."""
+    perm = jnp.asarray(_rotation_permutation_981(mode))
+    return feature[perm]

@@ -107,92 +107,127 @@ def nn_pallas(
     return idx[:q_n], sq[:q_n]
 
 
-def _nn_gather_kernel(q_ref, rt_ref, nt_ref, sq_ref, qsel_ref, nsel_ref):
-    j = pl.program_id(1)
+def _make_gather_kernel(dist: str, n_chunks: int):
+    """Grid is over query tiles ONLY; the full transposed ref/aux arrays
+    live in VMEM (8×N f32 — 640 KB even at 20k points) and an internal
+    fori_loop sweeps ref chunks.  A (i, j)-grid formulation with revisited
+    output blocks measured ~14 µs of per-step overhead × 800 steps; this
+    single-grid-axis version keeps the running best in loop carries.
 
-    q = q_ref[:]  # (TQ, 8) row-major queries
-    rt = rt_ref[:]  # (8, TN) ref points TRANSPOSED: coord rows broadcast
-    # Exact f32 distances on the VPU: no matmul, no cancellation, no
-    # multi-pass HIGHEST penalty for a K=3 contraction the MXU hates.
-    dx = q[:, 0:1] - rt[0:1, :]  # (TQ, TN)
-    dy = q[:, 1:2] - rt[1:2, :]
-    dz = q[:, 2:3] - rt[2:3, :]
-    d2 = dx * dx + dy * dy + dz * dz  # (TQ, TN)
+    dist: 'vpu' (exact f32 broadcasts), 'mxu' (HIGHEST matmul cross term,
+    f32-exact via bf16 passes), 'mxu_fast' (default-precision bf16 matmul
+    — approximate selection, exact gathered values; fine for ICP where a
+    2nd-nearest match on the same surface barely moves the point-to-plane
+    residual)."""
 
-    # Row-min with keepdims (softmax-style broadcast pattern — Mosaic
-    # handles this natively; argmin + cross-lane relayout does not).
-    tile_min_k = jnp.min(d2, axis=1, keepdims=True)  # (TQ, 1)
-    hits = (d2 <= tile_min_k).astype(jnp.float32)
-    # average over exact ties (duplicated target points) instead of
-    # picking one — identical for true duplicates, harmless otherwise
-    onehot = hits / jnp.sum(hits, axis=1, keepdims=True)
-    tile_min = tile_min_k[:, 0]  # (TQ,)
-    # MXU-as-gather: one-hot rows select the matched target row.
-    # K = TN contraction — a shape the MXU likes; HIGHEST keeps the
-    # selected coordinates f32-exact through the bf16 passes.
-    q_sel = jax.lax.dot_general(
-        onehot, rt, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )  # (TQ, 8)
-    n_sel = jax.lax.dot_general(
-        onehot, nt_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )  # (TQ, 8)
+    def kernel(q_ref, rt_ref, nt_ref, sq_ref, qsel_ref, nsel_ref):
+        q = q_ref[:]  # (TQ, 8) row-major queries
+        q2 = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
 
-    @pl.when(j == 0)
-    def _init():
-        sq_ref[:] = tile_min
-        qsel_ref[:] = q_sel
-        nsel_ref[:] = n_sel
+        def chunk_step(c, carry):
+            best_d2, best_q, best_n = carry
+            rt = rt_ref[:, pl.ds(c * _TN_G, _TN_G)]  # (8, TN)
+            if dist == "vpu":
+                dx = q[:, 0:1] - rt[0:1, :]
+                dy = q[:, 1:2] - rt[1:2, :]
+                dz = q[:, 2:3] - rt[2:3, :]
+                d2 = dx * dx + dy * dy + dz * dz
+            else:
+                prec = _HI if dist == "mxu" else jax.lax.Precision.DEFAULT
+                r2 = jnp.sum(rt * rt, axis=0, keepdims=True)  # (1, TN)
+                cross = jax.lax.dot_general(
+                    q, rt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # (TQ, TN)
+                d2 = q2 + r2 - 2.0 * cross
 
-    @pl.when(j > 0)
-    def _update():
-        better = tile_min < sq_ref[:]
-        sq_ref[:] = jnp.where(better, tile_min, sq_ref[:])
-        qsel_ref[:] = jnp.where(better[:, None], q_sel, qsel_ref[:])
-        nsel_ref[:] = jnp.where(better[:, None], n_sel, nsel_ref[:])
+            tile_min = jnp.min(d2, axis=1, keepdims=True)  # (TQ, 1)
+            hits = (d2 <= tile_min).astype(jnp.float32)
+            # average over exact ties (duplicated target points) — identical
+            # for true duplicates, harmless otherwise
+            onehot = hits / jnp.sum(hits, axis=1, keepdims=True)
+            # MXU-as-gather: one-hot rows select the matched target row;
+            # HIGHEST keeps selected coordinates f32-exact.
+            q_sel = jax.lax.dot_general(
+                onehot, rt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )  # (TQ, 8)
+            nt = nt_ref[:, pl.ds(c * _TN_G, _TN_G)]
+            n_sel = jax.lax.dot_general(
+                onehot, nt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+            better = tile_min < best_d2  # (TQ, 1)
+            return (
+                jnp.where(better, tile_min, best_d2),
+                jnp.where(better, q_sel, best_q),
+                jnp.where(better, n_sel, best_n),
+            )
+
+        init = (
+            jnp.full((_TQ, 1), jnp.inf, jnp.float32),
+            jnp.zeros((_TQ, 8), jnp.float32),
+            jnp.zeros((_TQ, 8), jnp.float32),
+        )
+        best_d2, best_q, best_n = jax.lax.fori_loop(0, n_chunks, chunk_step, init)
+        sq_ref[:] = best_d2[:, 0]
+        qsel_ref[:] = best_q
+        nsel_ref[:] = best_n
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def nn_gather_pallas(
+def prepare_nn_ref(
+    ref_xyz: jax.Array, ref_aux: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Transpose + pad the reference set once (hoist out of ICP loops —
+    XLA does not reliably lift this out of a scan body)."""
+    from mapping_private_tpu.core.cloud import PAD_COORD
+
+    r_n = ref_xyz.shape[0]
+    rp = -(-r_n // _TN_G) * _TN_G
+    # refs are TRANSPOSED (8, N): per-coordinate rows broadcast against
+    # query columns without any in-kernel relayout
+    rt = jnp.full((8, rp), PAD_COORD, jnp.float32).at[:3, :r_n].set(ref_xyz.T)
+    rt = rt.at[3:, :r_n].set(0.0)
+    nt = jnp.zeros((8, rp), jnp.float32).at[:3, :r_n].set(ref_aux.T)
+    return rt, nt
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "dist"))
+def nn_gather_prepared(
     query_xyz: jax.Array,
-    ref_xyz: jax.Array,
-    ref_aux: jax.Array,
+    rt: jax.Array,
+    nt: jax.Array,
     interpret: bool = False,
+    dist: str = "mxu",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """1-NN with fused value gather.
+    """1-NN with fused value gather against a prepare_nn_ref() reference.
 
-    (Q,3),(N,3),(N,3) → (sq_dist (Q,), matched_ref_xyz (Q,3),
-    matched_aux (Q,3)).  ``ref_aux`` is typically the target normals.
-    Query rows that are dead must carry −PAD_COORD; ref rows +PAD_COORD.
+    (Q,3),(8,Np),(8,Np) → (sq_dist (Q,), matched_ref_xyz (Q,3),
+    matched_aux (Q,3)).  Query rows that are dead must carry −PAD_COORD.
     """
     from mapping_private_tpu.core.cloud import PAD_COORD
 
     q_n = query_xyz.shape[0]
-    r_n = ref_xyz.shape[0]
+    rp = rt.shape[1]
     qp = -(-q_n // _TQ) * _TQ
-    rp = -(-r_n // _TN_G) * _TN_G
     q = jnp.full((qp, 8), -PAD_COORD, jnp.float32).at[:q_n, :3].set(query_xyz)
     q = q.at[:q_n, 3:].set(0.0)
-    # refs are passed TRANSPOSED (8, N): per-coordinate rows broadcast
-    # against query columns without any in-kernel relayout
-    rt = jnp.full((8, rp), PAD_COORD, jnp.float32).at[:3, :r_n].set(ref_xyz.T)
-    rt = rt.at[3:, :r_n].set(0.0)
-    nt = jnp.zeros((8, rp), jnp.float32).at[:3, :r_n].set(ref_aux.T)
 
-    grid = (qp // _TQ, rp // _TN_G)
+    grid = (qp // _TQ,)
     sq, qsel, nsel = pl.pallas_call(
-        _nn_gather_kernel,
+        _make_gather_kernel(dist, rp // _TN_G),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TQ, 8), lambda i, j: (i, 0)),
-            pl.BlockSpec((8, _TN_G), lambda i, j: (0, j)),
-            pl.BlockSpec((8, _TN_G), lambda i, j: (0, j)),
+            pl.BlockSpec((_TQ, 8), lambda i: (i, 0)),
+            pl.BlockSpec((8, rp), lambda i: (0, 0)),
+            pl.BlockSpec((8, rp), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((_TQ,), lambda i, j: (i,)),
-            pl.BlockSpec((_TQ, 8), lambda i, j: (i, 0)),
-            pl.BlockSpec((_TQ, 8), lambda i, j: (i, 0)),
+            pl.BlockSpec((_TQ,), lambda i: (i,)),
+            pl.BlockSpec((_TQ, 8), lambda i: (i, 0)),
+            pl.BlockSpec((_TQ, 8), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((qp,), jnp.float32),
@@ -202,3 +237,16 @@ def nn_gather_pallas(
         interpret=interpret,
     )(q, rt, nt)
     return sq[:q_n], qsel[:q_n, :3], nsel[:q_n, :3]
+
+
+def nn_gather_pallas(
+    query_xyz: jax.Array,
+    ref_xyz: jax.Array,
+    ref_aux: jax.Array,
+    interpret: bool = False,
+    dist: str = "mxu",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Convenience wrapper: prepare_nn_ref + nn_gather_prepared.
+    In loops, call prepare_nn_ref once outside instead."""
+    rt, nt = prepare_nn_ref(ref_xyz, ref_aux)
+    return nn_gather_prepared(query_xyz, rt, nt, interpret=interpret, dist=dist)

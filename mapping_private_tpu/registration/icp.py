@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from mapping_private_tpu.core.se3 import se3_exp, se3_apply
+from mapping_private_tpu.core.linalg import cholesky_solve_unrolled
 from mapping_private_tpu.ops.neighbors import (
     knn_bruteforce,
     build_grid_hash,
@@ -66,8 +67,7 @@ def _gn_step(
     Jw = J * w[:, None]
     H = J.T @ Jw  # (6,6)
     g = Jw.T @ r  # (6,)
-    H = H + damping * jnp.eye(6, dtype=H.dtype)
-    xi = -jnp.linalg.solve(H, g)
+    xi = -cholesky_solve_unrolled(H, g, jitter=damping)
     T_new = se3_exp(xi) @ T
     cnt = jnp.sum(ok.astype(jnp.int32))
     rmse = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1e-12))
@@ -118,16 +118,20 @@ def icp_point_to_plane(
     elif nn_backend == "pallas":
         # NN + match-gather fused in one pallas kernel (the part XLA does
         # badly); the dense J/H math stays in XLA (the part it does well).
-        from mapping_private_tpu.ops.pallas_nn import nn_gather_pallas
+        from mapping_private_tpu.ops.pallas_nn import (
+            prepare_nn_ref,
+            nn_gather_prepared,
+        )
         from mapping_private_tpu.core.cloud import PAD_COORD
 
         tgt_padded = jnp.where(tgt_mask[:, None], tgt_xyz, PAD_COORD)
         nrm_padded = jnp.where(tgt_mask[:, None], tgt_normals, 0.0)
+        rt, nt = prepare_nn_ref(tgt_padded, nrm_padded)  # hoisted out of scan
 
         def fused_body(T, _):
             p = se3_apply(T, src_xyz)
             p = jnp.where(src_mask[:, None], p, -PAD_COORD)
-            sq, q, n = nn_gather_pallas(p, tgt_padded, nrm_padded)
+            sq, q, n = nn_gather_prepared(p, rt, nt)
             ok = src_mask & (sq <= max_corr_dist * max_corr_dist)
             r = jnp.sum(n * (p - q), axis=-1)
             absr = jnp.abs(r)
@@ -143,8 +147,7 @@ def icp_point_to_plane(
                 precision=jax.lax.Precision.HIGHEST,
             )
             g = Jw.T @ r
-            H = H + damping * jnp.eye(6, dtype=H.dtype)
-            xi = -jnp.linalg.solve(H, g)
+            xi = -cholesky_solve_unrolled(H, g, jitter=damping)
             T_new = se3_exp(xi) @ T
             cnt = jnp.sum(ok.astype(jnp.int32))
             rmse = jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1e-12))
