@@ -8,6 +8,18 @@ from mapping_private_tpu.ops.neighbors import (
 )
 from mapping_private_tpu.ops.voxel import voxel_downsample
 from mapping_private_tpu.ops.normals import estimate_normals, smallest_eigenvector_3x3
+from mapping_private_tpu.ops.filters import (
+    statistical_outlier_mask,
+    remove_statistical_outliers,
+    box_filter_mask,
+    box_filter,
+    axis_parallel_normal_mask,
+    axis_perpendicular_normal_mask,
+    z_band_mask,
+    channel_equal_mask,
+)
+from mapping_private_tpu.ops.region_growing import region_grow
+from mapping_private_tpu.ops.mls import mls, mls_smooth
 
 __all__ = [
     "pairwise_sq_dists",
@@ -19,4 +31,15 @@ __all__ = [
     "voxel_downsample",
     "estimate_normals",
     "smallest_eigenvector_3x3",
+    "statistical_outlier_mask",
+    "remove_statistical_outliers",
+    "box_filter_mask",
+    "box_filter",
+    "axis_parallel_normal_mask",
+    "axis_perpendicular_normal_mask",
+    "z_band_mask",
+    "channel_equal_mask",
+    "region_grow",
+    "mls",
+    "mls_smooth",
 ]
