@@ -1,0 +1,39 @@
+from mapping_private_tpu.features.colorchlac import (
+    colorchlac117,
+    colorchlac981,
+    colorchlac117_subdiv,
+    colorchlac981_subdiv,
+    occupied_count_subdiv,
+    rotate_feature_981,
+)
+from mapping_private_tpu.features.rsd import (
+    rsd_radii,
+    get_type,
+    grsd20_from_types,
+    vosch,
+)
+from mapping_private_tpu.features.extract import (
+    extract_grsd_cchlac,
+    extract_colorchlac117,
+    extract_colorchlac981,
+    voxelize_for_features,
+    voxel_types,
+)
+
+__all__ = [
+    "colorchlac117",
+    "colorchlac981",
+    "colorchlac117_subdiv",
+    "colorchlac981_subdiv",
+    "occupied_count_subdiv",
+    "rotate_feature_981",
+    "rsd_radii",
+    "get_type",
+    "grsd20_from_types",
+    "vosch",
+    "extract_grsd_cchlac",
+    "extract_colorchlac117",
+    "extract_colorchlac981",
+    "voxelize_for_features",
+    "voxel_types",
+]

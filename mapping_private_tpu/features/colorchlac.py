@@ -161,6 +161,96 @@ def colorchlac981(
     return jnp.concatenate(parts)
 
 
+def _pad_to_blocks(x: jax.Array, bs: int) -> jax.Array:
+    """Zero-pad the three grid axes up to multiples of the block size."""
+    X, Y, Z = x.shape[:3]
+    px, py, pz = (-X) % bs, (-Y) % bs, (-Z) % bs
+    if px or py or pz:
+        pad = [(0, px), (0, py), (0, pz)] + [(0, 0)] * (x.ndim - 3)
+        x = jnp.pad(x, pad)
+    return x
+
+
+def _block_pair(a: jax.Array, b: jax.Array, bs: int) -> jax.Array:
+    """Per-block Σ_v a(v) ⊗ b(v): (X,Y,Z,6)² → (Bx,By,Bz,6,6).
+
+    Reshape into (Bx,bs,By,bs,Bz,bs,6) and contract the intra-block axes
+    with one einsum — the subdivision accumulation of the reference's
+    computeColorCHLAC hist_idx binning (color_chlac.hpp:1464-1504) as
+    batched MXU work."""
+    a = _pad_to_blocks(a, bs)
+    b = _pad_to_blocks(b, bs)
+    X, Y, Z, C = a.shape
+    ar = a.reshape(X // bs, bs, Y // bs, bs, Z // bs, bs, C)
+    br = b.reshape(X // bs, bs, Y // bs, bs, Z // bs, bs, C)
+    return jnp.einsum("xaybzcC,xaybzcD->xyzCD", ar, br)
+
+
+def _block_sum(x: jax.Array, bs: int) -> jax.Array:
+    """Per-block Σ_v x(v): (X,Y,Z,...) → (Bx,By,Bz,...)."""
+    x = _pad_to_blocks(x, bs)
+    X, Y, Z = x.shape[:3]
+    rest = x.shape[3:]
+    xr = x.reshape((X // bs, bs, Y // bs, bs, Z // bs, bs) + rest)
+    return xr.sum(axis=(1, 3, 5))
+
+
+def occupied_count_subdiv(grid: VoxelGrid, block_size: int) -> jax.Array:
+    """(Bx,By,Bz) occupied-voxel count per subdivision (the sliding-box
+    detector's exist_voxel_num, search.cpp:450)."""
+    return _block_sum(grid.occupancy().astype(jnp.float32), block_size)
+
+
+def colorchlac117_subdiv(
+    grid: VoxelGrid,
+    block_size: int,
+    thresholds: Tuple[int, int, int] = (127, 127, 127),
+) -> jax.Array:
+    """(Bx,By,Bz,117) per-subdivision rotation-invariant ColorCHLAC.
+
+    Neighbor products are attributed to the *center* voxel's block, as the
+    reference does; products whose neighbor lies in an adjacent block are
+    still counted (the shifted tensor carries the neighbor's value into
+    the center's position before the block reduction)."""
+    u, w, _ = color_channels(grid, thresholds)
+    su = neighbor_sum(u)
+    sw = neighbor_sum(w)
+    bs = block_size
+    f0 = _block_sum(u, bs) * _N0
+    f1 = _block_pair(u, su, bs).reshape(f0.shape[:3] + (36,)) * _N1_RI
+    m_u = _block_pair(u, u, bs)
+    f2 = jnp.stack([m_u[..., i, j] for i, j in _UPPER_TRI], axis=-1) * _N1
+    f3 = _block_sum(w, bs)
+    f4 = _block_pair(w, sw, bs).reshape(f0.shape[:3] + (36,)) * _N1_BIN_RI
+    m_w = _block_pair(w, w, bs)
+    f5 = jnp.stack([m_w[..., i, j] for i, j in _BIN_CENTER_PAIRS], axis=-1)
+    return jnp.concatenate([f0, f1, f2, f3, f4, f5], axis=-1)
+
+
+def colorchlac981_subdiv(
+    grid: VoxelGrid,
+    block_size: int,
+    thresholds: Tuple[int, int, int] = (127, 127, 127),
+) -> jax.Array:
+    """(Bx,By,Bz,981) per-subdivision rotation-variant ColorCHLAC
+    (same layout as colorchlac981)."""
+    u, w, _ = color_channels(grid, thresholds)
+    bs = block_size
+    f0 = _block_sum(u, bs) * _N0
+    base = f0.shape[:3]
+    parts = [f0]
+    for d in NEIGHBOR_OFFSETS_13:
+        parts.append(_block_pair(u, _shift(u, d), bs).reshape(base + (36,)) * _N1)
+    m_u = _block_pair(u, u, bs)
+    parts.append(jnp.stack([m_u[..., i, j] for i, j in _UPPER_TRI], axis=-1) * _N1)
+    parts.append(_block_sum(w, bs))
+    for d in NEIGHBOR_OFFSETS_13:
+        parts.append(_block_pair(w, _shift(w, d), bs).reshape(base + (36,)))
+    m_w = _block_pair(w, w, bs)
+    parts.append(jnp.stack([m_w[..., i, j] for i, j in _BIN_CENTER_PAIRS], axis=-1))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _rotation_matrix(mode: str) -> np.ndarray:
     """90° rotation matrices: mode 1 = +90° about z, 2 = +90° about y,
     3 = +90° about x (generators of the 24-element cube rotation group)."""

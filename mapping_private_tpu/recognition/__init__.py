@@ -1,0 +1,27 @@
+from mapping_private_tpu.recognition.pca import (
+    PCAResult,
+    pca_fit,
+    subspace_axis,
+    read_pca,
+    write_pca,
+)
+from mapping_private_tpu.recognition.search import (
+    SceneData,
+    Detection,
+    build_scene_data,
+    search_object,
+    search_objects_multi,
+)
+
+__all__ = [
+    "PCAResult",
+    "pca_fit",
+    "subspace_axis",
+    "read_pca",
+    "write_pca",
+    "SceneData",
+    "Detection",
+    "build_scene_data",
+    "search_object",
+    "search_objects_multi",
+]
