@@ -95,6 +95,46 @@ def polygon_area(poly: np.ndarray) -> float:
     return 0.5 * float(np.abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
 
 
+def convex_polygon_intersection(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two convex CCW polygons via Sutherland–Hodgman
+    clipping (host).  The in-process replacement for the reference's
+    `/intersect_poly` ROS service (table_memory.cpp:286-330).
+
+    Returns the clipped polygon (V,2); empty (0,2) if disjoint."""
+    subject = [tuple(p) for p in np.asarray(a, np.float64)]
+    clip = np.asarray(b, np.float64)
+    if len(subject) < 3 or len(clip) < 3:
+        return np.zeros((0, 2))
+    for i in range(len(clip)):
+        e0, e1 = clip[i], clip[(i + 1) % len(clip)]
+        edge = (e1[0] - e0[0], e1[1] - e0[1])
+
+        def inside(p):
+            return edge[0] * (p[1] - e0[1]) - edge[1] * (p[0] - e0[0]) >= 0
+
+        def intersect(p, q):
+            dp = (q[0] - p[0], q[1] - p[1])
+            denom = edge[0] * dp[1] - edge[1] * dp[0]
+            if abs(denom) < 1e-30:
+                return q
+            t = (edge[0] * (e0[1] - p[1]) - edge[1] * (e0[0] - p[0])) / denom
+            return (p[0] + t * dp[0], p[1] + t * dp[1])
+
+        out = []
+        for j in range(len(subject)):
+            cur, nxt = subject[j], subject[(j + 1) % len(subject)]
+            if inside(cur):
+                out.append(cur)
+                if not inside(nxt):
+                    out.append(intersect(cur, nxt))
+            elif inside(nxt):
+                out.append(intersect(cur, nxt))
+        subject = out
+        if not subject:
+            return np.zeros((0, 2))
+    return np.asarray(subject)
+
+
 def point_in_polygon(poly: np.ndarray, pts: np.ndarray) -> np.ndarray:
     """Vectorized crossing-number test (host). poly (V,2), pts (Q,2)."""
     x, y = pts[:, 0][:, None], pts[:, 1][:, None]
