@@ -1,0 +1,29 @@
+from mapping_private_tpu.realtime.depth import (
+    depth_to_disparity,
+    disparity_to_depth,
+    smooth_depth_image,
+    depth_to_cloud,
+    background_subtract,
+)
+from mapping_private_tpu.realtime.render import render_depth_mesh
+from mapping_private_tpu.realtime.segmentation import (
+    fast_normals_image,
+    multi_plane_ransac,
+    connected_components_image,
+    mean_shift_normals,
+    segment_normal_image,
+)
+
+__all__ = [
+    "depth_to_disparity",
+    "disparity_to_depth",
+    "smooth_depth_image",
+    "depth_to_cloud",
+    "background_subtract",
+    "render_depth_mesh",
+    "fast_normals_image",
+    "multi_plane_ransac",
+    "connected_components_image",
+    "mean_shift_normals",
+    "segment_normal_image",
+]
