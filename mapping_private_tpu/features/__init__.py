@@ -10,8 +10,12 @@ from mapping_private_tpu.features.rsd import (
     rsd_radii,
     get_type,
     grsd20_from_types,
+    grsd325_from_types,
+    plus_grsd110_from_types,
     vosch,
 )
+from mapping_private_tpu.features.pfh import pfh_histograms, pair_features
+from mapping_private_tpu.features.hlac2d import hlac_bin, hlac_gray, hlac_color
 from mapping_private_tpu.features.extract import (
     extract_grsd_cchlac,
     extract_colorchlac117,
@@ -30,7 +34,14 @@ __all__ = [
     "rsd_radii",
     "get_type",
     "grsd20_from_types",
+    "grsd325_from_types",
+    "plus_grsd110_from_types",
     "vosch",
+    "pfh_histograms",
+    "pair_features",
+    "hlac_bin",
+    "hlac_gray",
+    "hlac_color",
     "extract_grsd_cchlac",
     "extract_colorchlac117",
     "extract_colorchlac981",

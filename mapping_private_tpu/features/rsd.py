@@ -124,6 +124,78 @@ def grsd20_from_types(type_grid: jax.Array, occ: jax.Array, normalize: bool = Fa
     return feat * NORMALIZE_GRSD if normalize else feat
 
 
+def grsd325_from_types(
+    type_grid: jax.Array, occ: jax.Array, normalize: bool = False
+) -> jax.Array:
+    """Rotation-variant GRSD-325 (extractGRSDSignature325,
+    grsd_colorCHLAC_tools.hpp:306-452): for each occupied voxel and each
+    of the 13 half-offsets (the exact relative_coordinates order :364-390,
+    which equals NEIGHBOR_OFFSETS_13), count (source_type, neighbor_type)
+    for OCCUPIED neighbors only; bin = source + neighbor·5 + offset·25."""
+    occf = occ.astype(jnp.float32)
+    onehot = jax.nn.one_hot(type_grid, 5, dtype=jnp.float32) * occf[..., None]
+    feats = []
+    for d in NEIGHBOR_OFFSETS_13:
+        M = jnp.einsum("xyzc,xyzd->cd", onehot, _shift(onehot, d))  # (s, n)
+        # bin layout source + neighbor*5 → index order n-major: M.T.ravel()
+        feats.append(M.T.reshape(-1))
+    feat = jnp.concatenate(feats)  # (325,)
+    return feat * NORMALIZE_GRSD if normalize else feat
+
+
+NR_DIV = 7  # normal-angle divisions (grsd_colorCHLAC_tools.h:18)
+
+
+def plus_grsd110_from_types(
+    type_grid: jax.Array,
+    occ: jax.Array,
+    normal_grid: jax.Array,
+    normalize: bool = False,
+) -> jax.Array:
+    """PlusGRSD-110 (extractPlusGRSDSignature110, tools.hpp:463-670):
+    transitions over all 26 offsets between occupied voxels, binned by the
+    angle between the voxels' mean normals — bin = floor(sqrt(‖n_s×n_n‖)·7)
+    (:616) — packed as 7 × upper-triangle(5×5) = 105, plus 5
+    transitions-to-empty counts per source type.
+
+    normal_grid: (X,Y,Z,3) per-voxel mean normals (normalized; zero where
+    invalid — invalid neighbor normals count as transitions-to-empty, :614).
+    """
+    occf = occ.astype(jnp.float32)
+    onehot = jax.nn.one_hot(type_grid, 5, dtype=jnp.float32) * occf[..., None]
+    n = normal_grid
+    n_ok = (jnp.linalg.norm(n, axis=-1) > 1e-6) & occ
+    tri = [(i, j) for i in range(5) for j in range(i, 5)]  # 15
+    per_bin = jnp.zeros((NR_DIV, 5, 5), jnp.float32)
+    to_empty = jnp.zeros((5,), jnp.float32)
+    src_ok = onehot * n_ok[..., None].astype(jnp.float32)
+    for d in NEIGHBOR_OFFSETS_26:
+        nb_hot = _shift(onehot, d)  # (X,Y,Z,5) zero where empty/out-of-grid
+        nb_n = _shift(n, d)
+        nb_ok = jnp.linalg.norm(nb_n, axis=-1) > 1e-6
+        cross = jnp.linalg.norm(jnp.cross(n, nb_n), axis=-1)
+        abin = jnp.minimum(
+            jnp.floor(jnp.sqrt(jnp.maximum(cross, 0.0)) * NR_DIV), NR_DIV - 1
+        ).astype(jnp.int32)
+        # occupied neighbor with a valid normal → angle-binned transition
+        valid_pair = nb_ok[..., None].astype(jnp.float32)
+        for b in range(NR_DIV):
+            sel = (abin == b).astype(jnp.float32)[..., None]
+            per_bin = per_bin.at[b].add(
+                jnp.einsum("xyzc,xyzd->cd", src_ok * sel, nb_hot * valid_pair)
+            )
+        # empty / invalid-normal neighbor → transitions_to_empty
+        nb_occupied = jnp.sum(nb_hot, axis=-1)
+        empty_like = jnp.maximum(1.0 - nb_occupied * nb_ok.astype(jnp.float32), 0.0)
+        to_empty = to_empty + jnp.einsum("xyzc,xyz->c", src_ok, empty_like)
+    parts = []
+    for b in range(NR_DIV):
+        # reference packs M(i,j) for i≤j; M is symmetric (all 26 offsets)
+        parts.append(jnp.stack([per_bin[b, i, j] for i, j in tri]))
+    feat = jnp.concatenate(parts + [to_empty])  # 105 + 5
+    return feat * NORMALIZE_GRSD if normalize else feat
+
+
 def vosch(
     grid: VoxelGrid,
     type_grid: jax.Array,
