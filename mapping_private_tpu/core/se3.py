@@ -37,12 +37,23 @@ def so3_exp(w: jax.Array) -> jax.Array:
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """(3,3) rotation -> (3,) axis-angle."""
+    """(3,3) rotation -> (3,) axis-angle.
+
+    Differentiation-safe at the identity: `arccos` has an unbounded
+    derivative at cos θ = 1 and `jnp.where` does not stop gradients from
+    the untaken branch, so the small-angle series is written in cos θ and
+    arccos is only ever *evaluated* (and differentiated) at a clamped-away
+    argument (the standard safe-where pattern; needed by the pose-graph
+    Jacobians, which differentiate through log at convergence)."""
     cos_t = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    small = cos_t > 1.0 - 1e-6
+    cos_safe = jnp.where(small, 0.0, cos_t)  # derivative-finite arccos input
+    theta = jnp.arccos(cos_safe)
     w_hat = jnp.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
-    # theta/(2 sin theta), series at 0
-    s = jnp.where(theta > 1e-4, theta / (2.0 * jnp.sin(theta) + _EPS), 0.5 + theta * theta / 12.0)
+    s_large = theta / (2.0 * jnp.sin(theta) + _EPS)
+    # θ² ≈ 2(1−cos θ):  θ/(2 sin θ) ≈ 1/2 + θ²/12 = 1/2 + (1−cos θ)/6
+    s_small = 0.5 + (1.0 - cos_t) / 6.0
+    s = jnp.where(small, s_small, s_large)
     return s * w_hat
 
 
