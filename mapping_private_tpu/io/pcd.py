@@ -115,8 +115,11 @@ def load_pcd_arrays(path: str) -> Dict[str, np.ndarray]:
 
     out: Dict[str, np.ndarray] = {}
     if data_kind == "ascii":
-        text = raw[pos:].decode("ascii", errors="replace")
-        flat = np.array(text.split(), dtype=np.float64)
+        # hot path: native multithreaded strtof parser (the same role PCL's
+        # C++ reader plays for the reference); numpy fallback inside
+        from mapping_private_tpu.native.loader import parse_floats
+
+        flat = parse_floats(raw[pos:]).astype(np.float64)
         row_len = sum(counts)
         flat = flat[: npoints * row_len].reshape(npoints, row_len)
         col = 0
