@@ -35,18 +35,26 @@ RSD_RADIUS = max(0.01, VOXEL_SIZE / 2 * float(np.sqrt(3)))  # tools.hpp:170
 
 
 def voxelize_for_features(
-    cloud: PointCloud, voxel_size: float = VOXEL_SIZE
+    cloud: PointCloud, voxel_size: float = VOXEL_SIZE, dim_bucket: int = 8
 ) -> VoxelGrid:
-    """PCL-compatible grid: origin at floor(min/leaf)*leaf, dims to max."""
+    """PCL-compatible grid: origin at floor(min/leaf)*leaf, dims to max.
+
+    dims round up to multiples of ``dim_bucket`` so XLA reuses one
+    compilation across similar-sized clouds (a 24-view corpus otherwise
+    triggers 24 recompiles); the extra voxels are empty and every
+    downstream feature (C3-HLAC sums, GRSD transitions — out-of-grid and
+    empty neighbors count identically) is invariant to them."""
     data = cloud.to_numpy()
     xyz = data["xyz"]
     mn = np.floor(xyz.min(0) / voxel_size) * voxel_size
-    dims = tuple(
-        (np.floor(xyz.max(0) / voxel_size) - np.floor(xyz.min(0) / voxel_size)).astype(int)
-        + 1
-    )
+    dims = (
+        np.floor(xyz.max(0) / voxel_size) - np.floor(xyz.min(0) / voxel_size)
+    ).astype(int) + 1
+    if dim_bucket > 1:
+        dims = -(-dims // dim_bucket) * dim_bucket
     return voxelize(
-        cloud, voxel_size, jnp.asarray(mn, jnp.float32), dims, channels=("r", "g", "b")
+        cloud, voxel_size, jnp.asarray(mn, jnp.float32), tuple(int(d) for d in dims),
+        channels=("r", "g", "b"),
     )
 
 

@@ -156,11 +156,17 @@ def load_pcd_arrays(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def load_pcd(path: str, capacity: Optional[int] = None) -> PointCloud:
+def load_pcd(
+    path: str,
+    capacity: Optional[int] = None,
+    capacity_bucket: Optional[int] = None,
+) -> PointCloud:
     """Load a PCD file into a padded PointCloud.
 
     xyz fields become positions; every other field becomes a channel.
     Rows with non-finite xyz (Kinect NaNs) are dropped before padding.
+    capacity_bucket rounds the capacity up to its multiple so one jit
+    compilation serves a whole corpus of similar-sized clouds.
     """
     arrays = load_pcd_arrays(path)
     if not all(k in arrays for k in ("x", "y", "z")):
@@ -175,6 +181,9 @@ def load_pcd(path: str, capacity: Optional[int] = None) -> PointCloud:
         if k in ("rgb", "rgb_packed"):
             continue
         channels[k] = np.asarray(v, np.float32)[finite]
+    if capacity is None and capacity_bucket:
+        n = len(xyz)
+        capacity = max(capacity_bucket, -(-n // capacity_bucket) * capacity_bucket)
     return PointCloud.from_numpy(xyz, channels=channels, capacity=capacity)
 
 
