@@ -217,5 +217,21 @@ def _register_builtins() -> None:
         return {"model": surf, "inliers": cloud.select(inl),
                 "outliers": cloud.select(~inl)}
 
+    @register_op("DepthImageTriangulation", jittable=False)
+    def _tri(organized, max_edge: float = 0.05):
+        """organized: dict with 'points' (H,W,3) and 'valid' (H,W)."""
+        from mapping_private_tpu.ops.triangulation import (
+            compact_mesh, triangulate_depth_image,
+        )
+        import numpy as _np
+
+        tris, ok = triangulate_depth_image(
+            organized["points"], organized["valid"], max_edge=max_edge
+        )
+        verts, t = compact_mesh(
+            _np.asarray(organized["points"]), _np.asarray(tris), _np.asarray(ok)
+        )
+        return {"mesh": (verts, t)}
+
 
 _register_builtins()
