@@ -1,0 +1,108 @@
+"""Scan acquisition — `ias_data_acquisition_ptu` TPU-framework-native.
+
+Replaces ptu_acquire_data.cpp: the ApproximateTime synchronization of
+point clouds with pan-tilt angles (`SyncPolicy`, :101), the sweep driver
+that steps the PTU through a trajectory (`/dp_ptu47/control` clients,
+:135-136) and dumps one PCD per view (`ptuFinderCallback`, :190).
+
+ROS message_filters becomes an in-process ApproximateTimeSync; the PTU
+service client becomes a user-supplied actuator callback; rosbag dumps
+become save_pcd calls.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class Stamped:
+    stamp: float
+    value: Any
+
+
+class ApproximateTimeSync:
+    """Match messages across N streams by nearest timestamps within a slop
+    (the message_filters::sync_policies::ApproximateTime core)."""
+
+    def __init__(self, num_streams: int, slop: float = 0.05,
+                 callback: Optional[Callable[..., None]] = None,
+                 queue_size: int = 100):
+        self.slop = slop
+        self.callback = callback
+        self.queues: List[List[Stamped]] = [[] for _ in range(num_streams)]
+        self.queue_size = queue_size
+        self.matched: List[Tuple[Any, ...]] = []
+
+    def push(self, stream: int, stamp: float, value: Any) -> None:
+        q = self.queues[stream]
+        q.append(Stamped(stamp, value))
+        if len(q) > self.queue_size:
+            q.pop(0)
+        self._try_match()
+
+    def _try_match(self) -> None:
+        if any(not q for q in self.queues):
+            return
+        # candidate: head-most recent common window around the earliest
+        # latest-head timestamp
+        pivot = self.queues[0][-1].stamp
+        picks = []
+        for q in self.queues:
+            best = min(q, key=lambda m: abs(m.stamp - pivot))
+            if abs(best.stamp - pivot) > self.slop:
+                return
+            picks.append(best)
+        for q, m in zip(self.queues, picks):
+            q.remove(m)
+        tup = tuple(m.value for m in picks)
+        self.matched.append(tup)
+        if self.callback:
+            self.callback(*tup)
+
+
+@dataclasses.dataclass
+class SweepConfig:
+    pan_start: float = -60.0
+    pan_end: float = 60.0
+    pan_step: float = 15.0
+    tilt: float = 0.0
+    settle_time: float = 0.5
+
+
+class ScanSession:
+    """Drive a pan-tilt sweep and capture one cloud per view.
+
+    actuator(pan_deg, tilt_deg) → None moves the unit (the /dp_ptu47
+    service client's role); capture() → (stamp, PointCloud-like) grabs a
+    cloud.  Views are recorded and optionally dumped as PCDs.
+    """
+
+    def __init__(self, actuator: Callable[[float, float], None],
+                 capture: Callable[[], Tuple[float, Any]],
+                 out_dir: Optional[str] = None):
+        self.actuator = actuator
+        self.capture = capture
+        self.out_dir = out_dir
+        self.views: List[Dict[str, Any]] = []
+
+    def run_sweep(self, cfg: SweepConfig = SweepConfig()) -> List[Dict[str, Any]]:
+        pan = cfg.pan_start
+        idx = 0
+        while pan <= cfg.pan_end + 1e-9:
+            self.actuator(pan, cfg.tilt)
+            stamp, cloud = self.capture()
+            rec = dict(index=idx, pan=pan, tilt=cfg.tilt, stamp=stamp,
+                       cloud=cloud)
+            if self.out_dir is not None:
+                from mapping_private_tpu.io.pcd import save_pcd
+
+                os.makedirs(self.out_dir, exist_ok=True)
+                path = os.path.join(self.out_dir, f"view_{idx:03d}.pcd")
+                save_pcd(path, cloud)
+                rec["path"] = path
+            self.views.append(rec)
+            pan += cfg.pan_step
+            idx += 1
+        return self.views
