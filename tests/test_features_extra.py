@@ -177,3 +177,38 @@ class TestPFH:
                                         mask, radius=0.03, k=12)).mean(0)
         # mean histograms should differ substantially
         assert np.abs(h_s - h_p).sum() > 50
+
+
+class TestGFPFH:
+    def test_discriminates_solid_from_hollow(self):
+        import jax
+        from mapping_private_tpu.features.gfpfh import gfpfh_global
+        from mapping_private_tpu.features.rsd import PLANE, SPHERE
+
+        # solid block of PLANE voxels vs a hollow shell of SPHERE voxels
+        solid_t = np.full((8, 8, 8), PLANE, np.int32)
+        solid_o = np.ones((8, 8, 8), bool)
+        shell_o = np.zeros((8, 8, 8), bool)
+        shell_o[0, :, :] = shell_o[-1, :, :] = True
+        shell_o[:, 0, :] = shell_o[:, -1, :] = True
+        shell_o[:, :, 0] = shell_o[:, :, -1] = True
+        shell_t = np.full((8, 8, 8), SPHERE, np.int32)
+
+        f1 = np.asarray(gfpfh_global(jnp.asarray(solid_t), jnp.asarray(solid_o),
+                                     jax.random.PRNGKey(0)))
+        f2 = np.asarray(gfpfh_global(jnp.asarray(shell_t), jnp.asarray(shell_o),
+                                     jax.random.PRNGKey(0)))
+        assert f1.shape == (150,)
+        np.testing.assert_allclose(f1.sum(), 1.0, atol=1e-5)
+        # hollow shell lines cross EMPTY; solid block never does
+        assert np.abs(f1 - f2).sum() > 0.5
+
+    def test_empty_grid_safe(self):
+        import jax
+        from mapping_private_tpu.features.gfpfh import gfpfh_global
+
+        t = np.zeros((4, 4, 4), np.int32)
+        o = np.zeros((4, 4, 4), bool)
+        f = np.asarray(gfpfh_global(jnp.asarray(t), jnp.asarray(o),
+                                    jax.random.PRNGKey(1)))
+        assert np.isfinite(f).all()
