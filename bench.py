@@ -101,10 +101,14 @@ def tpu_icp_fps(src, tgt, normals):
     t = jnp.asarray(tgt)
     nr = jnp.asarray(normals)
 
-    def run():
-        return icp_point_to_plane(
-            s, smask, t, mask, nr, iters=ICP_ITERS, max_corr_dist=0.5
+    icp_jit = jax.jit(
+        lambda a, b, c, d, e: icp_point_to_plane(
+            a, b, c, d, e, iters=ICP_ITERS, max_corr_dist=0.5
         )
+    )
+
+    def run():
+        return icp_jit(s, smask, t, mask, nr)
 
     res = run()  # compile + warmup
     res.transform.block_until_ready()

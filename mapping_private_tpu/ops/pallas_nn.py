@@ -239,6 +239,91 @@ def nn_gather_prepared(
     return sq[:q_n], qsel[:q_n, :3], nsel[:q_n, :3]
 
 
+_TN_A = 2048  # argmin kernel ref-chunk (TQ=1024/TN=2048 won the TPU sweep)
+
+
+def _make_argmin_kernel(n_chunks: int):
+    """Argmin-only variant: per chunk, exact VPU broadcast distances and a
+    running (min, argmin) carry — no per-chunk value-gather matmuls (those
+    HIGHEST-precision one-hot products made the fused kernel ~2.3× slower
+    than this kernel + one XLA take of the winners).  Exact: measured
+    1.0 idx agreement with a CPU kd-tree at 20k points, where the XLA
+    dense path's bf16 matmul passes mis-rank 89% of near-tie queries."""
+
+    def kernel(q_ref, rt_ref, idx_ref, sq_ref):
+        qv = q_ref[:]  # (TQ, 8)
+
+        def step(c, carry):
+            best_d2, best_i = carry
+            rtc = rt_ref[:, pl.ds(c * _TN_A, _TN_A)]  # (8, TN)
+            dx = qv[:, 0:1] - rtc[0:1, :]
+            dy = qv[:, 1:2] - rtc[1:2, :]
+            dz = qv[:, 2:3] - rtc[2:3, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            tmin = jnp.min(d2, axis=1, keepdims=True)
+            targ = jnp.argmin(d2, axis=1).astype(jnp.int32)[:, None] + c * _TN_A
+            better = tmin < best_d2
+            return (
+                jnp.where(better, tmin, best_d2),
+                jnp.where(better, targ, best_i),
+            )
+
+        init = (
+            jnp.full((_TQ, 1), jnp.inf, jnp.float32),
+            jnp.zeros((_TQ, 1), jnp.int32),
+        )
+        bd, bi = jax.lax.fori_loop(0, n_chunks, step, init)
+        sq_ref[:] = bd[:, 0]
+        idx_ref[:] = bi[:, 0]
+
+    return kernel
+
+
+def prepare_nn_ref_argmin(ref_xyz: jax.Array) -> jax.Array:
+    """Transposed (8, N′) reference for nn_argmin_prepared (pad once)."""
+    from mapping_private_tpu.core.cloud import PAD_COORD
+
+    r_n = ref_xyz.shape[0]
+    rp = -(-r_n // _TN_A) * _TN_A
+    rt = jnp.full((8, rp), PAD_COORD, jnp.float32).at[:3, :r_n].set(ref_xyz.T)
+    return rt.at[3:, :r_n].set(0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn_argmin_prepared(
+    query_xyz: jax.Array, rt: jax.Array, interpret: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact 1-NN indices: (Q,3),(8,N′) → (idx (Q,) int32, sq (Q,) f32).
+
+    Dead queries must carry −PAD_COORD.  Gather winners with plain XLA
+    takes (cheap); this is the fast path ICP uses on TPU."""
+    from mapping_private_tpu.core.cloud import PAD_COORD
+
+    q_n = query_xyz.shape[0]
+    rp = rt.shape[1]
+    qp = -(-q_n // _TQ) * _TQ
+    q = jnp.full((qp, 8), -PAD_COORD, jnp.float32).at[:q_n, :3].set(query_xyz)
+    q = q.at[:q_n, 3:].set(0.0)
+    idx, sq = pl.pallas_call(
+        _make_argmin_kernel(rp // _TN_A),
+        grid=(qp // _TQ,),
+        in_specs=[
+            pl.BlockSpec((_TQ, 8), lambda i: (i, 0)),
+            pl.BlockSpec((8, rp), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TQ,), lambda i: (i,)),
+            pl.BlockSpec((_TQ,), lambda i: (i,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp,), jnp.int32),
+            jax.ShapeDtypeStruct((qp,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, rt)
+    return idx[:q_n], sq[:q_n]
+
+
 def nn_gather_pallas(
     query_xyz: jax.Array,
     ref_xyz: jax.Array,

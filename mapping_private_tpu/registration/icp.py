@@ -116,22 +116,28 @@ def icp_point_to_plane(
             return idx[:, 0], sq[:, 0]
 
     elif nn_backend == "pallas":
-        # NN + match-gather fused in one pallas kernel (the part XLA does
-        # badly); the dense J/H math stays in XLA (the part it does well).
+        # exact argmin NN in one pallas kernel (VPU broadcast distances,
+        # running min/argmin carries — no HBM distance matrix); winner
+        # values gathered by one cheap XLA take; the dense J/H math stays
+        # in XLA (the part it does well).
         from mapping_private_tpu.ops.pallas_nn import (
-            prepare_nn_ref,
-            nn_gather_prepared,
+            prepare_nn_ref_argmin,
+            nn_argmin_prepared,
         )
         from mapping_private_tpu.core.cloud import PAD_COORD
 
         tgt_padded = jnp.where(tgt_mask[:, None], tgt_xyz, PAD_COORD)
         nrm_padded = jnp.where(tgt_mask[:, None], tgt_normals, 0.0)
-        rt, nt = prepare_nn_ref(tgt_padded, nrm_padded)  # hoisted out of scan
+        rt = prepare_nn_ref_argmin(tgt_padded)  # hoisted out of scan
+        n_tgt = tgt_xyz.shape[0]
 
         def fused_body(T, _):
             p = se3_apply(T, src_xyz)
             p = jnp.where(src_mask[:, None], p, -PAD_COORD)
-            sq, q, n = nn_gather_prepared(p, rt, nt)
+            idx, sq = nn_argmin_prepared(p, rt)
+            i = jnp.minimum(idx, n_tgt - 1)
+            q = tgt_padded[i]
+            n = nrm_padded[i]
             ok = src_mask & (sq <= max_corr_dist * max_corr_dist)
             r = jnp.sum(n * (p - q), axis=-1)
             absr = jnp.abs(r)
