@@ -20,7 +20,11 @@ import time
 import numpy as np
 
 N_POINTS = 20000
-ICP_ITERS = 20  # TPU: far more correspondences per sweep → fewer sweeps
+# TPU converges in ~4 sweeps (all 2000 samples matched per sweep vs the
+# reference's 200 random ones): |T−T_true| = 6.9e-8 at 6 sweeps, equal to
+# the reference's 100-iteration result.  6 keeps a 50% margin over the
+# measured fixed point.
+ICP_ITERS = 6
 # Source correspondences per iteration.  The reference samples 1% of the
 # cloud (200 points) per iteration (registration.cpp:113-126); we use 10%
 # (2000) — 10× the reference's correspondence density per sweep — matched

@@ -31,3 +31,12 @@ utils         profiling, metrics, checkpointing
 """
 
 __version__ = "0.1.0"
+
+# Metric geometry needs exact f32 products: TPU's default matmul runs bf16
+# MXU passes whose ~1e-3 absolute error poisons pose composition (4×4),
+# Rodrigues terms (W@W), and GN systems — measured as a 1.2 mm ICP
+# convergence floor that vanishes at HIGHEST.  Hot paths that can tolerate
+# bf16 opt back in explicitly with precision=DEFAULT at the call site.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -65,8 +65,17 @@ def _gn_step(
     # J_i = [n ; p × n] for update T ← exp(ξ)·T
     J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (N,6)
     Jw = J * w[:, None]
-    H = J.T @ Jw  # (6,6)
-    g = Jw.T @ r  # (6,)
+    # HIGHEST precision: TPU bf16 matmul passes bias the GN step (se3_apply)
+    H = jax.lax.dot_general(
+        J, Jw, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (6,6)
+    g = jax.lax.dot_general(
+        Jw, r, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (6,)
     xi = -cholesky_solve_unrolled(H, g, jitter=damping)
     T_new = se3_exp(xi) @ T
     cnt = jnp.sum(ok.astype(jnp.int32))
@@ -152,7 +161,12 @@ def icp_point_to_plane(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            g = Jw.T @ r
+            # HIGHEST: a bf16-pass Jᵀr biases the GN step (see se3_apply)
+            g = jax.lax.dot_general(
+                Jw, r, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             xi = -cholesky_solve_unrolled(H, g, jitter=damping)
             T_new = se3_exp(xi) @ T
             cnt = jnp.sum(ok.astype(jnp.int32))

@@ -91,3 +91,34 @@ class TestTracker:
             relaxed = tracker.relax()
             assert relaxed.shape == (K, 4, 4)
             assert np.isfinite(np.asarray(relaxed)).all()
+
+
+class TestBuildMapApp:
+    def test_cli_end_to_end(self, tmp_path, capsys):
+        import json
+        from mapping_private_tpu.io.pcd import save_pcd
+        from mapping_private_tpu.apps.build_map import main
+
+        rng = np.random.default_rng(0)
+        xy = rng.uniform(-1.5, 1.5, (2500, 2))
+        z = 0.3 * np.sin(2.0 * xy[:, 0]) + 0.2 * np.cos(2.5 * xy[:, 1])
+        world = np.column_stack([xy, z]).astype(np.float32)
+        paths = []
+        for k in range(3):
+            T = np.asarray(se3_exp(jnp.asarray(
+                [0.04 * k, 0.0, 0.0, 0, 0, 0.01 * k], jnp.float32)))
+            Tinv = np.linalg.inv(T)
+            scan = world @ Tinv[:3, :3].T + Tinv[:3, 3]
+            p = str(tmp_path / f"scan{k}.pcd")
+            save_pcd(p, {"xyz": scan.astype(np.float32)})
+            paths.append(p)
+        out_map = str(tmp_path / "map.pcd")
+        rc = main(paths + ["--json", "--out-map", out_map,
+                           "--keyframe-trans", "0.03"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["map_points"] > 500
+        T_last = np.asarray(out["trajectory"][-1])
+        assert abs(T_last[0, 3] - 0.08) < 0.02  # recovered x motion
+        import os
+        assert os.path.exists(out_map)
