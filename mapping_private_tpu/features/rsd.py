@@ -124,6 +124,55 @@ def grsd20_from_types(type_grid: jax.Array, occ: jax.Array, normalize: bool = Fa
     return feat * NORMALIZE_GRSD if normalize else feat
 
 
+def grsd20_subdiv(
+    type_grid: jax.Array, occ: jax.Array, block_size: int,
+    normalize: bool = False,
+) -> jax.Array:
+    """(Bx,By,Bz,20) per-subdivision GRSD (extractGRSDSignature21's
+    subdivision mode, tools.hpp:131-295): each transition is attributed to
+    the SOURCE voxel's block; neighbors beyond the grid or unoccupied
+    count as EMPTY."""
+    from mapping_private_tpu.features.colorchlac import _block_pair, _block_sum
+
+    occf = occ.astype(jnp.float32)
+    onehot = jax.nn.one_hot(type_grid, 6, dtype=jnp.float32) * occf[..., None]
+    bs = block_size
+    M = None
+    occ_nbrs = jnp.zeros_like(occf)
+    for d in NEIGHBOR_OFFSETS_26:
+        s = _shift(onehot, d)
+        Mp = _block_pair(onehot, s, bs)  # (B...,6,6)
+        M = Mp if M is None else M + Mp
+        occ_nbrs = occ_nbrs + jnp.sum(s[..., :5], axis=-1)
+    # EMPTY neighbors per source type, per block
+    empty_w = (26.0 - occ_nbrs) * occf
+    empty_counts = _block_sum(onehot * empty_w[..., None], bs)  # (B...,6)
+    M = M.at[..., :, EMPTY].add(empty_counts)
+    feat = jnp.stack(
+        [M[..., i, j] for i, j in _UPPER_TRI_6[:20]], axis=-1
+    )
+    return feat * NORMALIZE_GRSD if normalize else feat
+
+
+def vosch_subdiv(
+    grid: VoxelGrid,
+    type_grid: jax.Array,
+    block_size: int,
+    thresholds: Tuple[int, int, int] = (127, 127, 127),
+    normalize_grsd: bool = False,
+) -> jax.Array:
+    """(Bx,By,Bz,137) per-subdivision VOSCH = GRSD-20 ++ ColorCHLAC-117 —
+    the feature the `color_voxel_recognition_2` sliding-box detector
+    consumes (SearchVOSCH::setVOSCH, search_new.h:31-45); feed to
+    recognition.build_scene_data."""
+    from mapping_private_tpu.features.colorchlac import colorchlac117_subdiv
+
+    g = grsd20_subdiv(type_grid, grid.occupancy(), block_size,
+                      normalize=normalize_grsd)
+    c = colorchlac117_subdiv(grid, block_size, thresholds)
+    return jnp.concatenate([g, c], axis=-1)
+
+
 def grsd325_from_types(
     type_grid: jax.Array, occ: jax.Array, normalize: bool = False
 ) -> jax.Array:

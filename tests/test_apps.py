@@ -96,3 +96,26 @@ class TestHoughApp:
         assert segs and segs[0]["kind"] == "cylinder"
         assert abs(segs[0]["cylinder"]["radius"] - 0.05) < 0.01
         assert glob.glob(os.path.join(out_dir, "object-*.pcd"))
+
+
+class TestCleanTableApp:
+    def test_plan(self, tmp_path):
+        from mapping_private_tpu.io.pcd import save_pcd
+        from mapping_private_tpu.apps.clean_table import plan_clean_table
+
+        rng = np.random.default_rng(0)
+        t = rng.uniform([-0.5, -0.4], [0.5, 0.4], (1200, 2))
+        table = np.column_stack([t, np.full(len(t), 0.75)])
+        obj = rng.uniform([0.08, -0.02, 0.76], [0.2, 0.1, 0.97], (800, 3))
+        rest = rng.uniform([-2, -2, 0], [2, 2, 2], (500, 3))
+        pts = np.vstack([table, obj, rest]).astype(np.float32)
+        p = str(tmp_path / "scene.pcd")
+        save_pcd(p, {"xyz": pts})
+        plan = plan_clean_table(p)
+        assert plan["table_found"]
+        assert plan["grasps"], "no grasps planned"
+        g = plan["grasps"][0]
+        # grasp hovers over the object cluster
+        assert 0.05 < g["position"][0] < 0.25
+        assert g["pregrasp"][2] > g["position"][2]
+        assert g["width"] < 0.2

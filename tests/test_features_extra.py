@@ -212,3 +212,52 @@ class TestGFPFH:
         f = np.asarray(gfpfh_global(jnp.asarray(t), jnp.asarray(o),
                                     jax.random.PRNGKey(1)))
         assert np.isfinite(f).all()
+
+
+class TestSubdivGRSDVosch:
+    def test_grsd_blocks_sum_to_global(self):
+        from mapping_private_tpu.features.rsd import grsd20_subdiv, grsd20_from_types
+        rng = np.random.default_rng(7)
+        t = rng.integers(0, 5, (8, 8, 8)).astype(np.int32)
+        occ = rng.random((8, 8, 8)) > 0.4
+        sub = np.asarray(grsd20_subdiv(jnp.asarray(t), jnp.asarray(occ), 4))
+        full = np.asarray(grsd20_from_types(jnp.asarray(t), jnp.asarray(occ)))
+        assert sub.shape == (2, 2, 2, 20)
+        np.testing.assert_allclose(sub.sum((0, 1, 2)), full, rtol=1e-4, atol=1e-3)
+
+    def test_vosch_subdiv_detection(self):
+        """SearchVOSCH flow: VOSCH per-subdivision features drive the same
+        sliding-box detector."""
+        import jax
+        from mapping_private_tpu.core.voxelgrid import VoxelGrid
+        from mapping_private_tpu.features.rsd import vosch_subdiv, PLANE
+        from mapping_private_tpu.features.colorchlac import occupied_count_subdiv
+        from mapping_private_tpu.recognition import (
+            build_scene_data, search_object, pca_fit, subspace_axis,
+        )
+
+        rng = np.random.default_rng(8)
+        shape = (16, 12, 8)
+        count = np.zeros(shape, np.int64)
+        r = np.zeros(shape); g = np.zeros(shape); b = np.zeros(shape)
+        ox, sx = 4, 4
+        count[ox:ox+sx, 2:6, 2:6] = 1
+        r[ox:ox+sx, 2:6, 2:6] = 200; g[ox:ox+sx, 2:6, 2:6] = 40
+        grid = VoxelGrid(
+            origin=jnp.zeros(3), voxel_size=jnp.float32(0.01),
+            count=jnp.asarray(count, jnp.int32),
+            sums={"r": jnp.asarray(r, jnp.float32),
+                  "g": jnp.asarray(g, jnp.float32),
+                  "b": jnp.asarray(b, jnp.float32)},
+        )
+        types = jnp.asarray(np.full(shape, PLANE, np.int32))
+        feats = vosch_subdiv(grid, types, 2)
+        assert feats.shape == (8, 6, 4, 137)
+        # learn the object's own subspace from its global VOSCH features
+        occ_blocks = feats.reshape(-1, 137)
+        live = np.linalg.norm(np.asarray(occ_blocks), axis=1) > 1e-6
+        pca = pca_fit(jnp.asarray(np.asarray(occ_blocks)[live]))
+        scene = build_scene_data(feats, occupied_count_subdiv(grid, 2))
+        dets = search_object(scene, subspace_axis(pca, 2), (2, 2, 2),
+                             rank_num=2, exist_threshold=4.0)
+        assert dets and dets[0].score > 0.8
