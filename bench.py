@@ -116,7 +116,7 @@ def tpu_icp_fps(src, tgt, normals):
 
     res = run()  # compile + warmup
     res.transform.block_until_ready()
-    reps = 5
+    reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
         res = run()
