@@ -55,6 +55,103 @@ def _pair_partial_system(
     return J.T @ Jw, Jw.T @ r, jnp.sum(ok.astype(jnp.int32))
 
 
+def make_sharded_map_icp_step(
+    mesh: Mesh,
+    max_corr_dist: float = 0.3,
+    huber_delta: float = 0.05,
+    damping: float = 1e-6,
+):
+    """One scan-to-map GN iteration with the MAP sharded over every mesh
+    axis — the voxel-block sharding of SURVEY §5.7: a map too large for
+    one chip's HBM spreads across the slice; each device finds its shard's
+    best correspondence per scan point; one all_gather of the per-shard
+    winners (7 floats/query/shard) + a cross-shard argmin yields exact
+    global NN; the GN system is then built redundantly (scan is
+    replicated) and solved locally — no further collective needed.
+
+    Returns (step_fn, shardings) for
+    step_fn(scan (N,3), scan_mask, map_xyz (M,3), map_mask, map_normals,
+    T (4,4)) → (T_new, num_corr).
+    """
+    axes = tuple(mesh.axis_names)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
+
+    def local_step(scan, scan_mask, mxyz, mmask, mnrm, T):
+        p = se3_apply(T, scan)
+        # local exact NN over this device's map shard
+        d2 = (
+            jnp.sum(p * p, -1, keepdims=True)
+            + jnp.sum(mxyz * mxyz, -1, keepdims=True).T
+            - 2.0
+            * jax.lax.dot_general(
+                p, mxyz, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+        d2 = jnp.where(mmask[None, :], d2, jnp.inf)
+        loc = jnp.argmin(d2, axis=1)
+        best_d2 = jnp.take_along_axis(d2, loc[:, None], axis=1)[:, 0]
+        best_q = mxyz[loc]
+        best_n = mnrm[loc]
+        # exchange per-shard winners; pick the global best per scan point
+        cand = jnp.concatenate(
+            [best_d2[:, None], best_q, best_n], axis=1
+        )  # (N, 7)
+        allc = cand
+        for a in axes:
+            allc = jax.lax.all_gather(allc, a)
+            allc = allc.reshape((-1,) + cand.shape)
+        win = jnp.argmin(allc[..., 0], axis=0)  # (N,)
+        idxs = jnp.broadcast_to(win[None, :, None], (1,) + allc.shape[1:])
+        sel = jnp.take_along_axis(allc, idxs, axis=0)[0]
+        sq, q, n = sel[:, 0], sel[:, 1:4], sel[:, 4:7]
+
+        ok = scan_mask & (sq <= max_corr_dist * max_corr_dist)
+        r = jnp.sum(n * (p - q), axis=-1)
+        absr = jnp.abs(r)
+        w = jnp.where(absr <= huber_delta, 1.0, huber_delta / jnp.maximum(absr, 1e-12))
+        w = jnp.where(ok, w, 0.0)
+        J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)
+        Jw = J * w[:, None]
+        H = jax.lax.dot_general(
+            J, Jw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        g = jax.lax.dot_general(
+            Jw, r, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        xi = -jnp.linalg.solve(H + damping * jnp.eye(6), g)
+        T_new = se3_exp(xi) @ T
+        return T_new, jnp.sum(ok.astype(jnp.int32))
+
+    specs_in = (
+        P(),  # scan replicated
+        P(),  # scan_mask
+        P(axes, None),  # map xyz sharded on points
+        P(axes),  # map mask
+        P(axes, None),  # map normals
+        P(),  # pose replicated
+    )
+    specs_out = (P(), P())
+    step = jax.jit(
+        shard_map(
+            local_step, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+            # outputs ARE replicated (every device computes the same argmin
+            # over the all_gathered winners), but that's data-dependent —
+            # not statically provable — so disable the replication check
+            check_vma=False,
+        )
+    )
+    shardings = tuple(NamedSharding(mesh, s) for s in specs_in)
+    return step, shardings
+
+
 def make_sharded_registration_step(
     mesh: Mesh,
     max_corr_dist: float = 0.25,

@@ -56,3 +56,50 @@ def test_sharded_step_matches_single_device():
         jnp.asarray(mask), jnp.asarray(normals), jnp.asarray(poses),
     )
     np.testing.assert_allclose(np.asarray(new_poses), np.asarray(ref), atol=1e-4)
+
+
+class TestShardedMapICP:
+    def test_matches_single_device_step(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mapping_private_tpu.core.se3 import se3_exp
+        from mapping_private_tpu.parallel.mesh import make_mesh
+        from mapping_private_tpu.parallel.distributed import (
+            make_sharded_map_icp_step,
+        )
+        from mapping_private_tpu.registration.icp import icp_point_to_plane
+
+        rng = np.random.default_rng(0)
+        M, N = 4096, 512
+        xy = rng.uniform(-2, 2, (M, 2))
+        z = 0.3 * np.sin(2.0 * xy[:, 0]) + 0.2 * np.cos(2.5 * xy[:, 1])
+        map_xyz = np.column_stack([xy, z]).astype(np.float32)
+        dzdx = 0.3 * 2.0 * np.cos(2.0 * xy[:, 0])
+        dzdy = -0.2 * 2.5 * np.sin(2.5 * xy[:, 1])
+        nrm = np.column_stack([-dzdx, -dzdy, np.ones(M)])
+        nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(np.float32)
+        T0 = np.asarray(se3_exp(jnp.asarray(
+            [0.02, -0.01, 0.015, 0.01, 0.0, 0.01], jnp.float32)))
+        scan = (map_xyz[:N] - T0[:3, 3]) @ T0[:3, :3]
+
+        mesh = make_mesh((4, 2))
+        step, shardings = make_sharded_map_icp_step(mesh)
+        args = [
+            jnp.asarray(scan), jnp.ones((N,), bool),
+            jnp.asarray(map_xyz), jnp.ones((M,), bool), jnp.asarray(nrm),
+            jnp.eye(4),
+        ]
+        args = [jax.device_put(a, s) for a, s in zip(args, shardings)]
+        T_sh, cnt = step(*args)
+        assert int(cnt) > 0
+
+        # single-device: one ICP iteration over the full map
+        res = icp_point_to_plane(
+            jnp.asarray(scan), jnp.ones((N,), bool),
+            jnp.asarray(map_xyz), jnp.ones((M,), bool), jnp.asarray(nrm),
+            iters=1, max_corr_dist=0.3, nn_backend="xla",
+        )
+        np.testing.assert_allclose(
+            np.asarray(T_sh), np.asarray(res.transform), atol=1e-4
+        )
