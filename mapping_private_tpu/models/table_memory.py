@@ -48,6 +48,7 @@ class TableObject:
     points: np.ndarray  # (P, 3) live points
     name: str = ""
     object_type: str = ""  # 'cylinder' | 'box'
+    semantic_class: str = ""  # classifier label (table_memory_grsd variant)
     box: Optional[dict] = None  # center/axes/extents
     cylinder: Optional[dict] = None  # point/axis/radius/k_min/k_max
     fit_quality: float = 0.0  # inlier fraction of the winning model
@@ -131,12 +132,20 @@ def _reconstruct_object(points: np.ndarray, key: jax.Array,
 
 
 class TableMemory:
-    """The stateful store.  Feed observations via update(); query tables."""
+    """The stateful store.  Feed observations via update(); query tables.
 
-    def __init__(self, sac_threshold: float = 0.01):
+    classify_fn: optional callable (points (P,3) → str) run on every
+    reconstructed cluster and stored as its semantic class — the
+    `table_memory_grsd` variant's GlobalRSD+SVM cluster classification
+    (src/table_memory_grsd.cpp:852-1000); compose e.g. features.extract +
+    classify.svm_predict_batch or classify_subspace.
+    """
+
+    def __init__(self, sac_threshold: float = 0.01, classify_fn=None):
         self.tables: List[Table] = []
         self._next_object_id = 0
         self.sac_threshold = sac_threshold
+        self.classify_fn = classify_fn
 
     # -- observation ingest ------------------------------------------------
     def update(
@@ -178,10 +187,14 @@ class TableMemory:
         inst = TableStateInstance(stamp=stamp)
         for ci, pts in enumerate(object_clusters):
             key, sub = jax.random.split(key)
-            inst.objects.append(
-                _reconstruct_object(np.asarray(pts, np.float32), sub,
-                                    self.sac_threshold)
-            )
+            obj = _reconstruct_object(np.asarray(pts, np.float32), sub,
+                                      self.sac_threshold)
+            if self.classify_fn is not None:
+                try:
+                    obj.semantic_class = str(self.classify_fn(obj.points))
+                except Exception:
+                    obj.semantic_class = ""
+            inst.objects.append(obj)
         self._name_objects(table, inst)
         table.instances.append(inst)
         return table.table_id
@@ -217,7 +230,7 @@ class TableMemory:
             inst = t.latest()
             out[f"table_{t.table_id}"] = [
                 dict(name=o.name, type=o.object_type, center=o.center.tolist(),
-                     fit_quality=o.fit_quality)
+                     fit_quality=o.fit_quality, semantic_class=o.semantic_class)
                 for o in (inst.objects if inst else [])
             ]
         return out
@@ -238,6 +251,7 @@ class TableMemory:
                     arrays[pid] = o.points
                     imeta["objects"].append(dict(
                         name=o.name, type=o.object_type,
+                        semantic_class=o.semantic_class,
                         center=o.center.tolist(), fit_quality=o.fit_quality,
                         box={k: np.asarray(v).tolist() for k, v in (o.box or {}).items()},
                         cylinder={k: (np.asarray(v).tolist() if hasattr(v, "__len__") else v)
@@ -272,6 +286,7 @@ class TableMemory:
                         center=np.asarray(ometa["center"]),
                         points=data[ometa["points_key"]],
                         name=ometa["name"], object_type=ometa["type"],
+                        semantic_class=ometa.get("semantic_class", ""),
                         fit_quality=ometa["fit_quality"],
                         box={k: np.asarray(v) for k, v in (ometa["box"] or {}).items()} or None,
                         cylinder=ometa["cylinder"],

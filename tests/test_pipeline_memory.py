@@ -190,3 +190,28 @@ class TestTableMemory:
         # restored memory continues matching correctly
         tid = back.update(self._hull(1.02, 2.0), 0.75, [], stamp=2.5)
         assert tid == 0
+
+
+class TestTableMemoryGRSDVariant:
+    def test_classify_fn_stored_and_checkpointed(self, tmp_path):
+        """The table_memory_grsd flow: clusters classified per observation."""
+        def classify(points):
+            # stand-in for GRSD+SVM: tall → 'bottle', flat → 'plate'
+            h = points[:, 2].max() - points[:, 2].min()
+            return "bottle" if h > 0.1 else "plate"
+
+        mem = TableMemory(classify_fn=classify)
+        hull = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+        mem.update(hull, 0.7, [_cylinder_points(h=0.15),
+                               _cylinder_points(h=0.02, center=(0.7, 0.6))],
+                   stamp=0.0)
+        classes = sorted(o.semantic_class
+                         for o in mem.tables[0].latest().objects)
+        assert classes == ["bottle", "plate"]
+        bs = mem.belief_state()
+        assert {o["semantic_class"] for o in bs["table_0"]} == {"bottle", "plate"}
+        path = str(tmp_path / "m.npz")
+        mem.checkpoint(path)
+        back = TableMemory.restore(path)
+        assert {o.semantic_class for o in back.tables[0].latest().objects} \
+            == {"bottle", "plate"}
