@@ -125,6 +125,22 @@ class Pipeline:
                 )
             known.update(st.outputs.values())
 
+    def jitted(self):
+        """Compose every stage into ONE traced program: returns a
+        jax.jit-compiled fn(values dict of pytrees) → values dict.
+
+        All stages must be registered jittable (no host-side ops); the
+        whole chain then fuses under XLA — the reference's per-node
+        serialize→TCP→deserialize boundaries become nothing at all."""
+        import jax
+
+        not_jittable = [st.op for st in self.stages if not get_op(st.op).jittable]
+        if not_jittable:
+            raise ValueError(
+                f"stages not jittable: {not_jittable} — run() them instead"
+            )
+        return jax.jit(self.run)
+
     def run(self, values: Dict[str, Any]) -> Dict[str, Any]:
         """Run all stages; returns the topic dict with outputs added."""
         values = dict(values)

@@ -215,3 +215,33 @@ class TestTableMemoryGRSDVariant:
         back = TableMemory.restore(path)
         assert {o.semantic_class for o in back.tables[0].latest().objects} \
             == {"bottle", "plate"}
+
+
+class TestJittedPipeline:
+    def test_whole_chain_compiles(self):
+        import jax
+
+        pipe = Pipeline([
+            Stage(op="MovingLeastSquares", input="in",
+                  outputs={"cluster": "smooth"},
+                  params={"search_radius": 0.02, "k": 16}),
+            Stage(op="NormalEstimation", input="smooth",
+                  outputs={"cloud": "with_normals"}, params={"k": 12}),
+            Stage(op="CylinderEstimation", input="with_normals",
+                  outputs={"model": "cyl", "inliers": "inl"}),
+        ])
+        fn = pipe.jitted()
+        cloud = PointCloud.from_numpy(_cylinder_points())
+        out = fn({"in": cloud})
+        assert abs(float(out["cyl"].radius) - 0.04) < 0.01
+        # second call hits the compile cache (same shapes)
+        out2 = fn({"in": cloud})
+        assert abs(float(out2["cyl"].radius) - 0.04) < 0.01
+
+    def test_non_jittable_rejected(self):
+        pipe = Pipeline([
+            Stage(op="DepthImageTriangulation", input="in",
+                  outputs={"mesh": "m"}),
+        ])
+        with pytest.raises(ValueError, match="not jittable"):
+            pipe.jitted()
