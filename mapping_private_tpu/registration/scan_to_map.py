@@ -149,6 +149,49 @@ class ScanToMapTracker:
             )
         return self.pose, made_kf
 
+    # -- checkpoint / resume (SURVEY §5.3-5.4: the reference loses all
+    # in-memory state on crash; the tracker persists map + trajectory) ----
+    def checkpoint(self, path: str) -> None:
+        import numpy as np
+
+        arrays = dict(
+            pose=np.asarray(self.pose),
+            keyframes=np.stack([np.asarray(p) for p in self.keyframe_poses]),
+        )
+        if self.map is not None:
+            arrays.update(
+                map_xyz=np.asarray(self.map.xyz),
+                map_normals=np.asarray(self.map.normals),
+                map_mask=np.asarray(self.map.mask),
+                map_voxel=np.asarray(self.map.voxel_size),
+            )
+        if self.edges:
+            arrays["edge_ij"] = np.asarray([[i, j] for i, j, _ in self.edges])
+            arrays["edge_Z"] = np.stack([np.asarray(Z) for _, _, Z in self.edges])
+        np.savez_compressed(path, **arrays)
+
+    @staticmethod
+    def restore(path: str, cfg: Optional[TrackerConfig] = None) -> "ScanToMapTracker":
+        import numpy as np
+
+        data = np.load(path)
+        t = ScanToMapTracker(cfg or TrackerConfig())
+        t.pose = jnp.asarray(data["pose"])
+        t.keyframe_poses = [jnp.asarray(p) for p in data["keyframes"]]
+        if "map_xyz" in data:
+            t.map = VoxelMap(
+                xyz=jnp.asarray(data["map_xyz"]),
+                normals=jnp.asarray(data["map_normals"]),
+                mask=jnp.asarray(data["map_mask"]),
+                voxel_size=jnp.asarray(data["map_voxel"]),
+            )
+        if "edge_ij" in data:
+            t.edges = [
+                (int(i), int(j), jnp.asarray(Z))
+                for (i, j), Z in zip(data["edge_ij"], data["edge_Z"])
+            ]
+        return t
+
     def add_loop_closure(self, i: int, j: int, Z_ij: jax.Array) -> None:
         self.edges.append((i, j, Z_ij))
 

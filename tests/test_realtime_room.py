@@ -172,3 +172,28 @@ class TestRoomSegmentation:
         # wall points dropped, floor/ceiling intact
         assert kept[2*n:4*n].mean() < 0.1
         assert kept[:2*n].mean() > 0.9
+
+
+class TestRoomSegmentApp:
+    def test_cli(self, tmp_path, capsys):
+        import json
+        from mapping_private_tpu.io.pcd import save_pcd
+        from mapping_private_tpu.apps.room_segment import main
+
+        rng = np.random.default_rng(9)
+        floor = np.column_stack([rng.uniform(0, 3, 600), rng.uniform(0, 3, 600),
+                                 np.zeros(600)])
+        wall = np.column_stack([np.zeros(600), rng.uniform(0, 3, 600),
+                                rng.uniform(0.2, 2.5, 600)])
+        pts = np.vstack([floor, wall]).astype(np.float32)
+        p = str(tmp_path / "room.pcd")
+        save_pcd(p, {"xyz": pts})
+        out_f = str(tmp_path / "nowalls.pcd")
+        rc = main([p, "--out-filtered", out_f])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["counts"]["floor"] > 500
+        assert out["counts"]["walls"] > 500
+        assert len(out["wall_planes"]) >= 1
+        import os
+        assert os.path.exists(out_f)

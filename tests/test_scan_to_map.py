@@ -122,3 +122,24 @@ class TestBuildMapApp:
         assert abs(T_last[0, 3] - 0.08) < 0.02  # recovered x motion
         import os
         assert os.path.exists(out_map)
+
+
+class TestTrackerCheckpoint:
+    def test_checkpoint_resume_continues_tracking(self, tmp_path):
+        cfg = TrackerConfig(map_capacity=8192, map_voxel=0.05,
+                            keyframe_trans=0.04)
+        tracker = ScanToMapTracker(cfg)
+        for k in range(3):
+            T = se3_exp(jnp.asarray([0.05 * k, 0, 0, 0, 0, 0], jnp.float32))
+            tracker.track(*_surface_scan(T, seed=20 + k))
+        path = str(tmp_path / "tracker.npz")
+        tracker.checkpoint(path)
+
+        back = ScanToMapTracker.restore(path, cfg)
+        assert int(back.map.count()) == int(tracker.map.count())
+        assert len(back.keyframe_poses) == len(tracker.keyframe_poses)
+        # restored tracker keeps localizing against the restored map
+        T3 = se3_exp(jnp.asarray([0.15, 0, 0, 0, 0, 0], jnp.float32))
+        pose, _ = back.track(*_surface_scan(T3, seed=23))
+        d = np.asarray(pose)[:3, 3] - np.asarray(T3)[:3, 3]
+        assert np.linalg.norm(d) < 0.02
