@@ -6,6 +6,12 @@ from mapping_private_tpu.realtime.depth import (
     background_subtract,
 )
 from mapping_private_tpu.realtime.render import render_depth_mesh
+from mapping_private_tpu.realtime.urdf import (
+    RobotModel,
+    parse_urdf,
+    load_stl,
+    render_robot_depth,
+)
 from mapping_private_tpu.realtime.segmentation import (
     fast_normals_image,
     multi_plane_ransac,
@@ -21,6 +27,10 @@ __all__ = [
     "depth_to_cloud",
     "background_subtract",
     "render_depth_mesh",
+    "RobotModel",
+    "parse_urdf",
+    "load_stl",
+    "render_robot_depth",
     "fast_normals_image",
     "multi_plane_ransac",
     "connected_components_image",
