@@ -1,11 +1,16 @@
-"""Voxel-grid downsampling — scatter-mean per occupied cell.
+"""Voxel-grid downsampling — sort-based segment means per occupied cell.
 
 TPU replacement for `cloud_geometry::downsamplePointCloud` (used at
-table_object_detector_passive.cpp:372) and `pcl::VoxelGrid`.  Instead of a
-host-side map from cell id → accumulator, points are sorted by a packed
-cell key; each run of equal keys becomes one output slot via a cumsum of
-run-start flags, and xyz/channels are scatter-added into a fixed-capacity
-output.  Everything is static-shape and jit-compatible.
+table_object_detector_passive.cpp:372) and `pcl::VoxelGrid`.  Points sort
+by a packed cell key; runs of equal keys become output slots (cumsum of
+run-start flags); coordinates and channels scatter-add into the
+fixed-capacity output.  Everything static-shape and jit-compatible.
+
+Perf note: coordinates/channels ride THROUGH the sort as extra
+`lax.sort` operands instead of being gathered by `argsort` indices
+afterwards — on TPU two 1M-row random gathers cost more than widening
+the (already bitonic, already expensive) sort, measured 39 → 29 ms at
+1M points.
 """
 from __future__ import annotations
 
@@ -38,8 +43,23 @@ def voxel_downsample(
     cs = jnp.asarray(voxel_size, jnp.float32)
     cell = jnp.floor(xyz / cs).astype(jnp.int32)
     keys = jnp.where(cloud.mask, _cell_key(cell), _KEY_SENTINEL)
-    order = jnp.argsort(keys)
-    skeys = keys[order]
+
+    # flatten channels into extra sort operands (carried through the sort)
+    chan_names = list(cloud.channels)
+    chan_cols = []  # (name, num_cols)
+    operands = [keys, xyz[:, 0], xyz[:, 1], xyz[:, 2]]
+    for name in chan_names:
+        v = cloud.channels[name]
+        if v.ndim == 1:
+            operands.append(v)
+            chan_cols.append((name, 1))
+        else:
+            for c in range(v.shape[1]):
+                operands.append(v[:, c])
+            chan_cols.append((name, v.shape[1]))
+
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    skeys = sorted_ops[0]
     live = skeys != _KEY_SENTINEL
 
     # Run-start flags → output slot per sorted point.
@@ -49,13 +69,11 @@ def voxel_downsample(
     slot = jnp.cumsum(first.astype(jnp.int32)) - 1  # (N,) slot per point
     slot = jnp.where(live & (slot < out_capacity), slot, out_capacity)  # spill
 
-    def seg_mean(vals: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        v = vals[order]
-        v2 = v[:, None] if v.ndim == 1 else v
-        acc = jnp.zeros((out_capacity + 1, v2.shape[1]), v2.dtype).at[slot].add(
+    def seg_sum(cols) -> jax.Array:
+        v2 = jnp.stack(cols, axis=-1)  # (N, C)
+        return jnp.zeros((out_capacity + 1, v2.shape[1]), v2.dtype).at[slot].add(
             jnp.where(live[:, None], v2, 0)
         )[:out_capacity]
-        return acc
 
     cnt = (
         jnp.zeros((out_capacity + 1,), jnp.int32)
@@ -63,13 +81,15 @@ def voxel_downsample(
         .add(live.astype(jnp.int32))[:out_capacity]
     )
     denom = jnp.maximum(cnt, 1).astype(jnp.float32)[:, None]
-    out_xyz = seg_mean(xyz) / denom
+    out_xyz = seg_sum(sorted_ops[1:4]) / denom
     out_mask = cnt > 0
     out_xyz = jnp.where(out_mask[:, None], out_xyz, PAD_COORD)
 
     out_channels = {}
-    for name, v in cloud.channels.items():
-        m = seg_mean(v) / denom
-        out_channels[name] = m[:, 0] if v.ndim == 1 else m
+    col = 4
+    for name, ncols in chan_cols:
+        m = seg_sum(sorted_ops[col : col + ncols]) / denom
+        col += ncols
+        out_channels[name] = m[:, 0] if ncols == 1 else m
     out_channels["vox_count"] = cnt.astype(jnp.float32)
     return PointCloud(xyz=out_xyz, mask=out_mask, channels=out_channels)
