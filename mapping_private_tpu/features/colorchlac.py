@@ -143,9 +143,10 @@ def colorchlac981(
       [501..968]  per-δ bin pairs            × 1
       [969..980]  bin center pairs           × 1
 
-    NOT bit-compatible with the reference's interleaved 981 layout
-    (c3_hlac_core.h:44-55) — same information, different order; use
-    rotate_feature_981 for the 90°-rotation group.
+    Offset-major ordering is the TPU-friendly native layout; use
+    to_reference_layout_981 for the reference's interleaved bin order
+    (c3_hlac_core.h:44-55) when interoperating with reference-extracted
+    features/models, and rotate_feature_981 for the 90°-rotation group.
     """
     u, w, _ = color_channels(grid, thresholds)
     parts = [jnp.sum(u, axis=(0, 1, 2)) * _N0]
@@ -303,3 +304,55 @@ def rotate_feature_981(feature: jax.Array, mode: str) -> jax.Array:
     """Feature vector of the voxel grid rotated by 90° about an axis."""
     perm = jnp.asarray(_rotation_permutation_981(mode))
     return feature[perm]
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_own_to_reference_981() -> np.ndarray:
+    """Permutation P with ref_layout[i] = own_layout[P[i]].
+
+    The reference's interleaved 981 bin order (derived from
+    color_chlac/include/color_chlac/color_chlac.hpp:296-801
+    addColorCHLAC_1 and confirmed by the c3_hlac stride pattern
+    ``6 + c2*9 + c1*78`` / ``60 + c2*4 + c1*78``, c3_hlac/src/c3_hlac.cpp:86-160):
+
+      [0:6]      Σu — identical to own layout
+      neighbor real bins: row per center channel c1 (stride 78 from 6);
+        within a row, neighbor offsets k=0..8 sit at 9·c2 + k and
+        k=9..12 at 54 + 4·c2 + (k−9)
+      [474:495]  center u⊗u upper triangle — identical order
+      [495:501]  Σw — identical
+      neighbor binary bins: same interleaving shifted by 495
+      [969:981]  binary center pairs — identical order
+
+    Own layout is offset-major (6 + 36·k + 6·c1 + c2).  Both carry the
+    same products with the same normalizers, so a pure permutation maps
+    between them — this is what makes reference-extracted 981/VOSCH
+    features and models interoperable with this package.
+    """
+    perm = np.arange(981)
+
+    def ref_bin(base: int, c1: int, c2: int, k: int) -> int:
+        row = base + 78 * c1
+        if k < 9:
+            return row + 9 * c2 + k
+        return row + 54 + 4 * c2 + (k - 9)
+
+    for c1 in range(6):
+        for c2 in range(6):
+            for k in range(13):
+                perm[ref_bin(6, c1, c2, k)] = 6 + 36 * k + 6 * c1 + c2
+                perm[ref_bin(501, c1, c2, k)] = 501 + 36 * k + 6 * c1 + c2
+    return perm
+
+
+def to_reference_layout_981(feature: jax.Array) -> jax.Array:
+    """Own-layout 981 feature → the reference's interleaved bin order
+    (bit-compatible with c3_hlac/color_chlac extractColorCHLACSignature981
+    output, so reference-trained classifiers/subspaces apply directly)."""
+    return feature[..., jnp.asarray(_perm_own_to_reference_981())]
+
+
+def from_reference_layout_981(feature: jax.Array) -> jax.Array:
+    """Inverse of to_reference_layout_981 (import reference artifacts)."""
+    inv = np.argsort(_perm_own_to_reference_981())
+    return feature[..., jnp.asarray(inv)]

@@ -32,6 +32,7 @@ from mapping_private_tpu.ops.normals import estimate_normals
 
 VOXEL_SIZE = 0.01  # example_GRSD_CCHLAC.cpp:15
 RSD_RADIUS = max(0.01, VOXEL_SIZE / 2 * float(np.sqrt(3)))  # tools.hpp:170
+NORMALS_RADIUS = 0.02  # grsd_colorCHLAC_tools.h:28
 
 
 def voxelize_for_features(
@@ -52,9 +53,12 @@ def voxelize_for_features(
     ).astype(int) + 1
     if dim_bucket > 1:
         dims = -(-dims // dim_bucket) * dim_bucket
+    # accumulate xyz so per-voxel centroids (PCL VoxelGrid filter output,
+    # the RSD query points) are recoverable via grid.mean("_xyz")
+    cloud = cloud.with_channel("_xyz", cloud.padded_xyz())
     return voxelize(
         cloud, voxel_size, jnp.asarray(mn, jnp.float32), tuple(int(d) for d in dims),
-        channels=("r", "g", "b"),
+        channels=("r", "g", "b", "_xyz"),
     )
 
 
@@ -62,43 +66,41 @@ def voxel_types(
     cloud: PointCloud,
     grid: VoxelGrid,
     voxel_size: float = VOXEL_SIZE,
-    k_normals: int = 16,
+    k_normals: int = 544,
+    k_rsd: int = 192,
 ) -> jax.Array:
-    """(X,Y,Z) int32 surface-type grid via per-voxel RSD.
+    """(X,Y,Z) int32 surface-type grid via per-voxel RSD — exact PCL
+    parity (validated bit-exact against the reference's golden
+    *_GRSD_CCHLAC.pcd corpus).
 
-    Normals are estimated on the full cloud (reference: radius 0.02,
-    grsd_colorCHLAC_tools.hpp computeNormal), RSD per occupied voxel
-    centroid against the full cloud (rsd radius tools.hpp:170)."""
-    cloud_n = estimate_normals(cloud, k=k_normals)
+    Normals: radius search 0.02 on the full cloud (reference
+    computeNormal, grsd_colorCHLAC_tools.hpp:157-186).  RSD: per occupied
+    *voxel centroid* (PCL VoxelGrid filter output) against the full
+    cloud, radius max(0.01, leaf/2·√3) (tools.hpp:165-186), exact
+    ``computeRSD`` min/max-angle line-fit semantics (rsd_radii_pcl).
+
+    ``k_normals``/``k_rsd`` cap the neighbor gathers; the defaults cover
+    the densest neighborhoods of the bundled corpora."""
+    from mapping_private_tpu.features.rsd import rsd_radii_pcl
+    from mapping_private_tpu.ops.normals import estimate_normals_radius
+
+    cloud_n = estimate_normals_radius(
+        cloud, radius=NORMALS_RADIUS, k_cap=k_normals
+    )
     normals = cloud_n.channel("normal")
 
-    # occupied-voxel centroids as queries
-    cnt = jnp.maximum(grid.count, 1).astype(jnp.float32)
-    occ = grid.occupancy()
-    # voxel centers (centroid ≈ center is fine for RSD's radius query)
     dims = grid.dims
-    ii, jj, kk = jnp.meshgrid(
-        jnp.arange(dims[0]), jnp.arange(dims[1]), jnp.arange(dims[2]), indexing="ij"
-    )
-    centers = (
-        jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3).astype(jnp.float32) + 0.5
-    ) * grid.voxel_size + grid.origin
-    occ_flat = occ.reshape(-1)
+    centroids = grid.mean("_xyz").reshape(-1, 3)
+    occ_flat = grid.occupancy().reshape(-1)
 
-    # query normals: nearest cloud point's normal
-    from mapping_private_tpu.ops.neighbors import knn_bruteforce
-
-    idx, _ = knn_bruteforce(centers, cloud.padded_xyz(), cloud.mask, k=1)
-    qn = normals[jnp.maximum(idx[:, 0], 0)]
-
-    r_min, r_max = rsd_radii(
-        centers,
+    r_min, r_max = rsd_radii_pcl(
+        centroids,
         occ_flat,
         cloud.padded_xyz(),
         cloud.mask,
         normals,
-        qn,
         radius=RSD_RADIUS,
+        k=k_rsd,
     )
     types = get_type(r_min, r_max).reshape(dims)
     return types
@@ -137,6 +139,15 @@ def extract_colorchlac981(
     cloud: PointCloud,
     voxel_size: float = VOXEL_SIZE,
     thresholds: Tuple[int, int, int] = (127, 127, 127),
+    layout: str = "own",
 ) -> jax.Array:
+    """981-dim rotation-variant C3-HLAC.  layout="reference" returns the
+    reference's interleaved bin order (extractColorCHLACSignature981 /
+    c3_hlac bit order) for artifact interop."""
     grid = voxelize_for_features(cloud, voxel_size)
-    return colorchlac981(grid, thresholds)
+    f = colorchlac981(grid, thresholds)
+    if layout == "reference":
+        from mapping_private_tpu.features.colorchlac import to_reference_layout_981
+
+        f = to_reference_layout_981(f)
+    return f

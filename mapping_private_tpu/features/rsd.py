@@ -74,6 +74,84 @@ def rsd_radii(
     return r_min, r_max
 
 
+def rsd_radii_pcl(
+    query_xyz: jax.Array,
+    query_mask: jax.Array,
+    surface_xyz: jax.Array,
+    surface_mask: jax.Array,
+    surface_normals: jax.Array,
+    radius: float,
+    k: int = 192,
+    nr_subdiv: int = 5,
+    plane_radius: float = 0.2,
+    max_dist_factor: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact-parity (r_min, r_max) per query — PCL ``RSDEstimation`` /
+    ``computeRSD`` semantics, as invoked by extractGRSDSignature21
+    (grsd_colorCHLAC_tools.hpp:165-186: input = voxel centroids, search
+    surface + normals = the full cloud, radius search sorted by distance).
+
+    Per query: let b = the nearest surface point.  For every other
+    neighbor i within ``radius`` of the query, the angle is between
+    n_i and n_b (folded to ≤ π/2) and the distance is ‖p_i − p_b‖
+    (skipped when > radius).  Distances are binned into ``nr_subdiv``
+    bins; per-bin min/max angles feed two least-squares line fits
+    d ≈ r·α, giving r_max (from min angles) and r_min (from max angles),
+    both clamped to ``plane_radius``.  Bin 0 is pre-seeded with angle 0
+    (the query itself).  Queries with <2 neighbors return (0, 0).
+
+    ``k`` caps the neighbor gather and must cover the densest
+    neighborhood for exactness.
+    """
+    idx, sq = knn_bruteforce(query_xyz, surface_xyz, surface_mask, k=k)
+    valid = (idx >= 0) & (sq <= radius * radius)
+    gi = jnp.maximum(idx, 0)
+    p = surface_xyz[gi]  # (Q,k,3)
+    n = surface_normals[gi]  # (Q,k,3)
+    p_b, n_b = p[:, 0, :], n[:, 0, :]
+    cos = jnp.clip(jnp.sum(n * n_b[:, None, :], axis=-1), -1.0, 1.0)
+    angle = jnp.arccos(cos)
+    angle = jnp.where(angle > jnp.pi / 2, jnp.pi - angle, angle)
+    dist = jnp.linalg.norm(p - p_b[:, None, :], axis=-1)
+    max_dist = radius * max_dist_factor
+    lane = jnp.arange(k)
+    pair = valid & (lane[None, :] > 0) & (dist <= max_dist)
+    bin_d = jnp.clip(
+        jnp.floor(nr_subdiv * dist / max_dist), 0, nr_subdiv - 1
+    ).astype(jnp.int32)
+
+    big = jnp.float32(1e9)
+    # per-bin min/max angle (Q, nr_subdiv)
+    sel = pair[:, None, :] & (bin_d[:, None, :] == jnp.arange(nr_subdiv)[None, :, None])
+    a_bc = jnp.broadcast_to(angle[:, None, :], sel.shape)
+    amin = jnp.min(jnp.where(sel, a_bc, big), axis=-1)
+    amax = jnp.max(jnp.where(sel, a_bc, -big), axis=-1)
+    present = jnp.any(sel, axis=-1)
+    # bin 0 pre-seeded with (0, 0) — always present
+    amin = amin.at[:, 0].set(0.0)
+    amax = amax.at[:, 0].max(0.0)
+    present = present.at[:, 0].set(True)
+
+    f = (jnp.arange(nr_subdiv, dtype=jnp.float32) + 0.5) * max_dist / nr_subdiv
+    pm = jnp.where(present, amin, 0.0)
+    px = jnp.where(present, amax, 0.0)
+    amint_amin = jnp.sum(pm * pm, axis=-1)
+    amint_d = jnp.sum(pm * f[None, :], axis=-1)
+    amaxt_amax = jnp.sum(px * px, axis=-1)
+    amaxt_d = jnp.sum(px * f[None, :], axis=-1)
+    eps = 1e-12  # Eigen::NumTraits<double>::dummy_precision
+    r_max = jnp.where(
+        amint_amin < eps, plane_radius,
+        jnp.minimum(amint_d / jnp.maximum(amint_amin, eps), plane_radius),
+    )
+    r_min = jnp.where(
+        amaxt_amax < eps, plane_radius,
+        jnp.minimum(amaxt_d / jnp.maximum(amaxt_amax, eps), plane_radius),
+    )
+    enough = (jnp.sum(valid, axis=-1) >= 2) & query_mask
+    return jnp.where(enough, r_min, 0.0), jnp.where(enough, r_max, 0.0)
+
+
 def get_type(r_min: jax.Array, r_max: jax.Array) -> jax.Array:
     """Surface type per element — thresholds exactly as the reference
     (grsd_colorCHLAC_tools.hpp:104-126)."""

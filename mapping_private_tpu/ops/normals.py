@@ -92,6 +92,28 @@ def normals_from_neighbors(
     return nrm * flip, curvature
 
 
+def estimate_normals_radius(
+    cloud: PointCloud,
+    radius: float,
+    k_cap: int = 64,
+    viewpoint: Optional[jax.Array] = None,
+) -> PointCloud:
+    """Radius-search normal estimation — PCL `NormalEstimation`
+    parity path (the reference's `computeNormal`,
+    color_chlac/include/color_chlac/grsd_colorCHLAC_tools.hpp:157-186,
+    radius = normals_radius_search = 0.02).
+
+    The covariance runs over ALL neighbors within ``radius`` *including
+    the query point itself* (PCL's radius search returns it at distance
+    0).  ``k_cap`` must exceed the densest neighborhood for exactness.
+    """
+    xyz = cloud.padded_xyz()
+    idx, sq = knn_bruteforce(xyz, xyz, cloud.mask, k=k_cap)
+    valid = (idx >= 0) & (sq <= radius * radius) & cloud.mask[:, None]
+    nrm, curv = normals_from_neighbors(xyz, idx, valid, viewpoint)
+    return cloud.with_channel("normal", nrm).with_channel("curvature", curv)
+
+
 def estimate_normals(
     cloud: PointCloud,
     k: int = 20,
