@@ -11,13 +11,39 @@ grows its inliers vertically, estimates a cuboid (:4554-6102) or cylinder
 loop :3920), finally classifying each object as tall/medium/short/flat
 (:3727-3816, thresholds :181-189).
 
+Discriminative machinery (the reference's hypothesis gates):
+- per-point CURVATURE splits planar vs circular surface points
+  (sequential_hough.cpp:2060-2094, curvature_threshold :88);
+- per-point RSD r_min plausibility band (:2174-2185, low/high_r_min :91-92);
+- CLUSTERING feature: a candidate's inliers are euclidean-clustered; the
+  cluster richest in matching-curvature points wins; candidates whose
+  best cluster has ≤1 matching curvature are rejected
+  (ClusteringFeatureForLines :662-945 / ForCircles :947-1255);
+- model re-adjustment on the curvature-consistent subset at half
+  threshold (adjustLineModel/adjustCircleModel, :4063-4070, :4203-4208);
+- line LENGTH gate (:4091-4105, minimum_line_length :116);
+- TOO-MANY-PLANAR-CURVATURES gate for circles: a circle whose disk
+  contains more planar-curvature points than allowed explains a flat
+  region, not a cylinder (:4210-4232, too_many_planar_curvatures :199);
+- NORMAL feature: line inliers need xy-normals ⊥ the line, circle
+  inliers need radial xy-normals (NormalFeatureForLines :1257-1354 /
+  ForCircles :1356-1455; off by default — the executed reference path
+  has them commented out, :4140, :4264);
+- SIGNIFICANT-PLANE pass: an upfront RANSAC plane whose biggest inlier
+  cluster becomes a planar object (:2347-3913, `sign` flag :178);
+- REST-OF-POINTS pass: when neither model wins, the remaining points are
+  clustered and emitted as PCA oriented boxes (:6357-6600,
+  deal_with_the_rest_of_the_points :183).
+
 TPU formulation: the serial VRANSAC iterations become H parallel
 hypotheses; parameter-space voting is a quantize + scatter-add where each
 hypothesis votes with its inlier count; the winning cell's hypotheses are
-averaged (the reference's cluster-mean model).  Each extraction round is
-one jitted program with static shapes; the short sequential outer loop
-(one iteration per extracted object) runs on the host exactly as the
-reference's does, carrying only a live-point mask across rounds.
+averaged (the reference's cluster-mean model).  Curvature/RSD channels
+are batched kNN eigenanalysis (one pass for the whole cloud, not PCL's
+per-point loops).  Each extraction round is one jitted program with
+static shapes; the short sequential outer loop (one iteration per
+extracted object) runs on the host exactly as the reference's does,
+carrying only a live-point mask across rounds.
 """
 from __future__ import annotations
 
@@ -30,8 +56,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mapping_private_tpu.core.cloud import PointCloud
-from mapping_private_tpu.fit.box import OrientedBox, fit_box_zup
-from mapping_private_tpu.fit.ransac import sample_live_indices
+from mapping_private_tpu.fit.box import OrientedBox, fit_box_pca, fit_box_zup
+from mapping_private_tpu.fit.ransac import fit_plane_ransac, sample_live_indices
+from mapping_private_tpu.ops.cluster import euclidean_cluster
 from mapping_private_tpu.ops.region_growing import region_grow
 
 
@@ -43,7 +70,7 @@ class HoughConfig:
     min_radius: float = 0.010
     max_radius: float = 0.100
     max_objects: int = 5
-    min_inliers: int = 50
+    min_inliers: int = 50  # minimum_line_inliers / minimum_circle_inliers
     # parameter-space quantization (clustering tolerance, :142-143)
     rho_bin: float = 0.01
     theta_bins: int = 90
@@ -55,11 +82,40 @@ class HoughConfig:
     tall_value: float = 0.75
     medium_value: float = 0.50
     short_value: float = 0.25
+    # --- hypothesis gates (reference defaults :88-136, recipes readme/) ---
+    use_feature_gates: bool = True
+    normal_search_k: int = 16  # normal_search_radius 0.02 as a kNN cap
+    curvature_threshold: float = 0.010  # :88
+    rsd_search_radius: float = 0.020  # :89
+    rsd_plane_radius: float = 0.200  # :90
+    low_r_min: float = 0.020  # :91
+    high_r_min: float = 0.080  # :92
+    rsd_feature_for_circles: bool = False  # plausibility band as a gate
+    clustering_feature_for_lines: bool = True  # :128
+    clustering_feature_for_circles: bool = True  # :129
+    inliers_clustering_tolerance: float = 0.015  # :130-131
+    normal_feature_for_lines: bool = False  # executed ref path: commented out
+    normal_feature_for_circles: bool = False
+    line_normals_angle_threshold: float = 2.5  # degrees, :137
+    circle_normals_angle_threshold: float = 10.0  # :138
+    minimum_line_length: float = 0.025  # :115
+    maximum_line_length: float = 0.250  # :116
+    too_many_planar_curvatures: int = 1000  # :199 (recipes pass 1000)
+    # --- significant plane (:95-99, sign :178) ---
+    significant_plane: bool = False
+    significant_plane_threshold: float = 0.02
+    minimum_inliers_of_significant_plane: int = 300
+    significant_plane_clustering_tolerance: float = 0.03
+    minimum_size_of_significant_plane_cluster: int = 100
+    # --- rest of the points (:183, :192-193) ---
+    deal_with_the_rest_of_the_points: bool = True
+    r_clustering_tolerance: float = 0.025
+    minimum_size_of_r_clusters: int = 50
 
 
 @dataclasses.dataclass
 class HoughSegment:
-    kind: str  # 'cuboid' | 'cylinder'
+    kind: str  # 'cuboid' | 'cylinder' | 'box' (rest-of-points PCA box) | 'plane'
     size_class: str  # 'tall' | 'medium' | 'short' | 'flat'
     inliers: np.ndarray  # (N,) bool
     num_inliers: int
@@ -164,20 +220,13 @@ def _hough_round(xy, mask, key, cfg: HoughConfig):
     circ_r = jnp.sum(radius * cw) / cwsum
     circ_d = jnp.abs(jnp.linalg.norm(xy - circ_c, axis=-1) - circ_r)
     circ_inl = (circ_d < cfg.circle_threshold) & mask
-    # grow: also claim interior points (objects are filled when seen top-down)
-    circ_grow = (
-        jnp.linalg.norm(xy - circ_c, axis=-1) < circ_r + cfg.grow_xy_margin
-    ) & mask
     circ_count = jnp.sum(circ_inl.astype(jnp.int32))
-
-    # line growth corridor: within threshold+margin of the line
-    line_grow = (line_d < cfg.line_threshold + cfg.grow_xy_margin) & mask
 
     return dict(
         line_votes=lvotes, line_count=line_count, line_inl=line_inl,
-        line_grow=line_grow, line_n=line_n, line_rho=line_rho,
+        line_n=line_n, line_rho=line_rho,
         circ_votes=cvotes, circ_count=circ_count, circ_inl=circ_inl,
-        circ_grow=circ_grow, circ_c=circ_c, circ_r=circ_r,
+        circ_c=circ_c, circ_r=circ_r,
     )
 
 
@@ -202,6 +251,188 @@ def _classify_size(extents: np.ndarray, cfg: HoughConfig) -> str:
     return "short"
 
 
+# ---------------------------------------------------------------------------
+# hypothesis gates
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _clustering_gate(xyz, inl, planar, want_planar, cfg: HoughConfig):
+    """ClusteringFeatureForLines/Circles (sequential_hough.cpp:662-1255):
+    euclidean-cluster the candidate's inliers; per cluster count the points
+    whose curvature matches the model family (planar for lines, circular
+    for circles); keep the cluster with the most matching curvatures.
+
+    Returns (kept_mask, n_match_best): kept_mask is the winning cluster's
+    members (all False when no cluster), n_match_best its matching-
+    curvature count (the reference rejects the model when ≤ 1)."""
+    n = xyz.shape[0]
+    labels = euclidean_cluster(xyz, inl, cfg.inliers_clustering_tolerance)
+    match = planar if want_planar else ~planar
+    w = (inl & match).astype(jnp.int32)
+    counts = jnp.zeros((n + 1,), jnp.int32).at[labels].add(w)
+    counts = counts.at[n].set(0)
+    best = jnp.argmax(counts)
+    kept = (labels == best) & inl
+    return kept, counts[best]
+
+
+def _line_refit(xy, sel):
+    """LS line on the selected points (adjustLineModel at half threshold:
+    the reference refits with SACMODEL_LINE on the curvature-consistent
+    subset).  Returns (normal (2,), rho, ok)."""
+    w = sel.astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    mean = jnp.sum(xy * w[:, None], axis=0) / wsum
+    d = (xy - mean) * w[:, None]
+    cov = d.T @ d / wsum
+    a, b, c = cov[0, 0], cov[0, 1], cov[1, 1]
+    theta = 0.5 * jnp.arctan2(2.0 * b, a - c)
+    direc = jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+    nrm = jnp.stack([-direc[1], direc[0]])
+    rho = jnp.sum(nrm * mean)
+    flip = jnp.where(rho < 0, -1.0, 1.0)
+    return nrm * flip, jnp.abs(rho), jnp.sum(sel) >= 2
+
+
+def _circle_refit(xy, sel):
+    """Kåsa algebraic LS circle on the selected points (adjustCircleModel).
+    Returns (center (2,), radius, ok)."""
+    w = sel.astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    mean = jnp.sum(xy * w[:, None], axis=0) / wsum
+    u = (xy - mean) * w[:, None]
+    Suu = jnp.sum(u[:, 0] * u[:, 0])
+    Svv = jnp.sum(u[:, 1] * u[:, 1])
+    Suv = jnp.sum(u[:, 0] * u[:, 1])
+    Suuu = jnp.sum(u[:, 0] ** 3)
+    Svvv = jnp.sum(u[:, 1] ** 3)
+    Suvv = jnp.sum(u[:, 0] * u[:, 1] ** 2)
+    Svuu = jnp.sum(u[:, 1] * u[:, 0] ** 2)
+    A = jnp.array([[Suu, Suv], [Suv, Svv]])
+    rhs = 0.5 * jnp.array([Suuu + Suvv, Svvv + Svuu])
+    det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+    ok = jnp.abs(det) > 1e-12
+    Ainv = jnp.array([[A[1, 1], -A[0, 1]], [-A[1, 0], A[0, 0]]]) / jnp.where(ok, det, 1.0)
+    uc = Ainv @ rhs
+    center = uc + mean
+    r = jnp.sqrt(jnp.maximum(
+        jnp.sum(uc * uc) + (Suu + Svv) / wsum, 1e-12))
+    return center, r, ok & (jnp.sum(sel) >= 3)
+
+
+def _normal_gate_line(normals_xy, inl, line_n, thresh_deg):
+    """NormalFeatureForLines (:1257-1354): keep inliers whose xy-normal is
+    ⊥ the line direction within thresh (i.e. parallel to the line normal)."""
+    n = normals_xy / jnp.maximum(
+        jnp.linalg.norm(normals_xy, axis=-1, keepdims=True), 1e-12)
+    # the line direction d: dot(d, np) ≈ 0 ⇔ |dot(line_n, np)| ≈ 1
+    cosang = jnp.abs(n @ line_n)
+    lim = jnp.cos(jnp.deg2rad(thresh_deg))
+    return inl & (cosang > lim)
+
+
+def _normal_gate_circle(xy, normals_xy, inl, center, thresh_deg):
+    """NormalFeatureForCircles (:1356-1455): radial xy-normals."""
+    c2p = xy - center
+    c2p = c2p / jnp.maximum(jnp.linalg.norm(c2p, axis=-1, keepdims=True), 1e-12)
+    n = normals_xy / jnp.maximum(
+        jnp.linalg.norm(normals_xy, axis=-1, keepdims=True), 1e-12)
+    cosang = jnp.abs(jnp.sum(c2p * n, axis=-1))
+    lim = jnp.cos(jnp.deg2rad(thresh_deg))
+    return inl & (cosang > lim)
+
+
+def _point_features(cloud: PointCloud, cfg: HoughConfig):
+    """Curvature + xy-normals + RSD r_min channels for the gate machinery
+    (the reference's smoothing→normals→RSD preamble, :1815-2185)."""
+    from mapping_private_tpu.features.rsd import rsd_radii
+    from mapping_private_tpu.ops.normals import estimate_normals
+
+    cloud_n = estimate_normals(cloud, k=cfg.normal_search_k)
+    normals = cloud_n.channel("normal")
+    curvature = cloud_n.channel("curvature")
+    xyz = cloud.padded_xyz()
+    r_min, _r_max = rsd_radii(
+        xyz, cloud.mask, xyz, cloud.mask, normals, normals,
+        radius=cfg.rsd_search_radius, k=16,
+        plane_radius=cfg.rsd_plane_radius,
+    )
+    return normals[:, :2], curvature, r_min
+
+
+def _pca_box_objects(
+    xyz: np.ndarray, live: np.ndarray, cfg: HoughConfig
+) -> List[HoughSegment]:
+    """Deal-with-the-rest-of-the-points pass (:6357-6600): euclidean-
+    cluster what remains, fit a PCA oriented box per cluster."""
+    labels = np.asarray(
+        euclidean_cluster(jnp.asarray(xyz), jnp.asarray(live),
+                          cfg.r_clustering_tolerance)
+    )
+    out: List[HoughSegment] = []
+    n = len(xyz)
+    for lbl, cnt in zip(*np.unique(labels[labels < n], return_counts=True)):
+        if cnt < cfg.minimum_size_of_r_clusters:
+            continue
+        sel = labels == lbl
+        box = fit_box_pca(jnp.asarray(xyz), jnp.asarray(sel))
+        # express height as the z-span for size classes
+        zsel = xyz[sel][:, 2]
+        ext = np.asarray(box.extents).copy()
+        ext_sorted = np.sort(ext)[::-1]
+        extents = np.array([ext_sorted[0], ext_sorted[1],
+                            float(zsel.max() - zsel.min())])
+        out.append(HoughSegment(
+            kind="box",
+            size_class=_classify_size(extents, cfg),
+            inliers=sel,
+            num_inliers=int(cnt),
+            box=box,
+        ))
+    out.sort(key=lambda s: -s.num_inliers)
+    return out
+
+
+def _significant_plane_pass(
+    xyz: np.ndarray, live: np.ndarray, key, cfg: HoughConfig
+) -> Tuple[Optional[HoughSegment], np.ndarray]:
+    """Significant-plane handling (:2347-3913): RANSAC plane → accept if
+    enough inliers → biggest euclidean cluster becomes a planar object."""
+    plane, inl = fit_plane_ransac(
+        jnp.asarray(xyz), jnp.asarray(live), key,
+        threshold=cfg.significant_plane_threshold,
+        num_hypotheses=max(cfg.num_hypotheses, 128),
+    )
+    inl_np = np.asarray(inl) & live
+    if int(inl_np.sum()) < cfg.minimum_inliers_of_significant_plane:
+        return None, live
+    labels = np.asarray(euclidean_cluster(
+        jnp.asarray(xyz), jnp.asarray(inl_np),
+        cfg.significant_plane_clustering_tolerance,
+    ))
+    n = len(xyz)
+    ok = labels[labels < n]
+    if ok.size == 0:
+        return None, live
+    lbl, cnt = np.unique(ok, return_counts=True)
+    best = lbl[np.argmax(cnt)]
+    if int(cnt.max()) < cfg.minimum_size_of_significant_plane_cluster:
+        return None, live
+    sel = labels == best
+    box = fit_box_pca(jnp.asarray(xyz), jnp.asarray(sel))
+    zsel = xyz[sel][:, 2]
+    extents = np.array([
+        float(np.sort(np.asarray(box.extents))[::-1][0]),
+        float(np.sort(np.asarray(box.extents))[::-1][1]),
+        float(zsel.max() - zsel.min()),
+    ])
+    seg = HoughSegment(
+        kind="plane", size_class=_classify_size(extents, cfg),
+        inliers=sel, num_inliers=int(sel.sum()), box=box,
+    )
+    return seg, live & ~sel
+
+
 def hough_segment(
     cloud: PointCloud,
     key: jax.Array,
@@ -216,41 +447,158 @@ def hough_segment(
     xyz = np.asarray(cloud.padded_xyz())
     z_off = float(table_z) if table_z is not None else 0.0
     xy = jnp.asarray(xyz[:, :2])
+    xyz_j = jnp.asarray(xyz)
     z = xyz[:, 2] - z_off
-    live = jnp.asarray(np.asarray(cloud.mask))
+    live_np = np.asarray(cloud.mask).copy()
+
+    gates = cfg.use_feature_gates
+    if gates:
+        normals_xy, curvature, r_min = _point_features(cloud, cfg)
+        planar = (curvature < cfg.curvature_threshold) & cloud.mask
+        planar_np = np.asarray(planar)
+    else:
+        normals_xy = curvature = r_min = None
+        planar = planar_np = None
 
     segments: List[HoughSegment] = []
+
+    if cfg.significant_plane:
+        key, sub = jax.random.split(key)
+        seg, live_np = _significant_plane_pass(xyz, live_np, sub, cfg)
+        if seg is not None:
+            segments.append(seg)
+
     for it in range(cfg.max_objects):
-        if int(jnp.sum(live.astype(jnp.int32))) < cfg.min_inliers:
+        live = jnp.asarray(live_np)
+        if int(live_np.sum()) < cfg.min_inliers:
             break
         key, sub = jax.random.split(key)
         r = _hough_round(xy, live, sub, cfg)
         lv, cv = int(r["line_votes"]), int(r["circ_votes"])
         lcount, ccount = int(r["line_count"]), int(r["circ_count"])
         if max(lcount, ccount) < cfg.min_inliers:
+            if cfg.deal_with_the_rest_of_the_points:
+                segments.extend(_pca_box_objects(xyz, live_np, cfg))
             break
-        use_circle = (cv, ccount) > (lv, lcount)
+
+        # ---------------- line candidate + gates ----------------
+        line_inl = r["line_inl"]
+        line_n, line_rho = r["line_n"], r["line_rho"]
+        valid_line = lcount >= cfg.min_inliers
+        if valid_line and gates and cfg.clustering_feature_for_lines:
+            kept, n_planar = _clustering_gate(xyz_j, line_inl, planar, True, cfg)
+            if int(n_planar) <= 1:
+                valid_line = False
+            else:
+                line_inl = kept
+                # adjust on the planar subset at half threshold
+                subset = kept & planar
+                nrm2, rho2, okfit = _line_refit(xy, subset)
+                if bool(okfit):
+                    d2 = jnp.abs(xy @ nrm2 - rho2)
+                    half = (d2 < cfg.line_threshold / 2) & subset
+                    nrm3, rho3, ok3 = _line_refit(xy, half)
+                    if bool(ok3) and int(jnp.sum(half)) >= 2:
+                        line_n, line_rho = nrm3, rho3
+        if valid_line and gates and cfg.normal_feature_for_lines:
+            line_inl = _normal_gate_line(
+                normals_xy, line_inl, line_n, cfg.line_normals_angle_threshold
+            )
+            if int(jnp.sum(line_inl)) == 0:
+                valid_line = False
+        if valid_line:
+            # length-of-line gate on the kept inliers' extent along the line
+            direc = jnp.stack([-line_n[1], line_n[0]])
+            tproj = xy @ direc
+            sel = np.asarray(line_inl)
+            if sel.any():
+                tv = np.asarray(tproj)[sel]
+                lol = float(tv.max() - tv.min())
+                if lol < cfg.minimum_line_length or lol > cfg.maximum_line_length:
+                    valid_line = False
+            else:
+                valid_line = False
+        line_size = int(np.asarray(line_inl).sum()) if valid_line else 0
+        if line_size < cfg.min_inliers:
+            valid_line = False
+
+        # ---------------- circle candidate + gates ----------------
+        circ_inl = r["circ_inl"]
+        circ_c, circ_r = r["circ_c"], r["circ_r"]
+        valid_circle = ccount >= cfg.min_inliers
+        if valid_circle and gates and cfg.clustering_feature_for_circles:
+            kept, n_circ = _clustering_gate(xyz_j, circ_inl, planar, False, cfg)
+            if int(n_circ) <= 1:
+                valid_circle = False
+            else:
+                circ_inl = kept
+                c2, r2, okc = _circle_refit(xy, kept)
+                if bool(okc) and cfg.min_radius <= float(r2) <= cfg.max_radius:
+                    d2 = jnp.abs(jnp.linalg.norm(xy - c2, axis=-1) - r2)
+                    half = (d2 < cfg.circle_threshold / 2) & kept
+                    c3, r3, ok3 = _circle_refit(xy, half)
+                    if bool(ok3) and cfg.min_radius <= float(r3) <= cfg.max_radius:
+                        circ_c, circ_r = c3, r3
+        if valid_circle and gates:
+            # too-many-planar-curvatures: the circle disk must not be a
+            # flat region (:4210-4232)
+            dcen = np.linalg.norm(xyz[:, :2] - np.asarray(circ_c), axis=1)
+            n_planar_in = int(
+                (planar_np & live_np & (dcen < float(circ_r) + cfg.circle_threshold)).sum()
+            )
+            if n_planar_in > cfg.too_many_planar_curvatures:
+                valid_circle = False
+        if valid_circle and gates and cfg.rsd_feature_for_circles:
+            rm = np.asarray(r_min)
+            sel = np.asarray(circ_inl)
+            plaus = (rm > cfg.low_r_min) & (rm < cfg.high_r_min)
+            if sel.any() and plaus[sel].mean() < 0.5:
+                valid_circle = False
+        if valid_circle and gates and cfg.normal_feature_for_circles:
+            circ_inl = _normal_gate_circle(
+                xy, normals_xy, circ_inl, circ_c,
+                cfg.circle_normals_angle_threshold,
+            )
+            if int(jnp.sum(circ_inl)) == 0:
+                valid_circle = False
+        circ_size = int(np.asarray(circ_inl).sum()) if valid_circle else 0
+        if circ_size < cfg.min_inliers:
+            valid_circle = False
+
+        # --------- decide line vs circle (larger filtered cloud, :4238) ----
+        if not valid_line and not valid_circle:
+            if cfg.deal_with_the_rest_of_the_points:
+                segments.extend(_pca_box_objects(xyz, live_np, cfg))
+            break
+        use_circle = valid_circle and (not valid_line or circ_size >= line_size)
+
         if use_circle:
-            claimed = np.asarray(r["circ_grow"])
+            grow = (
+                jnp.linalg.norm(xy - circ_c, axis=-1)
+                < circ_r + cfg.grow_xy_margin
+            ) & jnp.asarray(live_np)
+            claimed = np.asarray(grow)
             zi = z[claimed]
-            center = np.asarray(r["circ_c"])
+            center = np.asarray(circ_c)
             seg_extents = np.array(
-                [2 * float(r["circ_r"]), 2 * float(r["circ_r"]), zi.max() - max(zi.min(), 0.0)]
+                [2 * float(circ_r), 2 * float(circ_r),
+                 zi.max() - max(zi.min(), 0.0)]
             )
             seg = HoughSegment(
                 kind="cylinder",
                 size_class=_classify_size(seg_extents, cfg),
                 inliers=claimed,
                 num_inliers=int(claimed.sum()),
-                cylinder=(center, float(r["circ_r"]), float(zi.min()), float(zi.max())),
+                cylinder=(center, float(circ_r), float(zi.min()), float(zi.max())),
                 votes=cv,
             )
         else:
             # grow the full connected object from the line-corridor seed
             # (the reference's region-grow of winner inliers, :2827-2900)
-            seeds = r["line_grow"]
+            line_d = jnp.abs(xy @ line_n - line_rho)
+            seeds = (line_d < cfg.line_threshold + cfg.grow_xy_margin) & jnp.asarray(live_np)
             labels = region_grow(
-                jnp.asarray(xyz), live, radius=cfg.grow_xy_margin * 2,
+                xyz_j, jnp.asarray(live_np), radius=cfg.grow_xy_margin * 2,
                 seed_mask=seeds,
             )
             # an infinite 2D line seeds every object it crosses — keep only
@@ -260,7 +608,7 @@ def hough_segment(
             n_cap = labels.shape[0]
             seeded = lab < n_cap
             if seeded.any():
-                seed_np = np.asarray(seeds)
+                seed_np = np.asarray(line_inl)
                 counts = np.bincount(
                     lab[seeded & seed_np], minlength=n_cap + 1
                 )
@@ -269,7 +617,7 @@ def hough_segment(
             else:
                 claimed = np.asarray(seeds)
             sel = jnp.asarray(claimed)
-            box = fit_box_zup(jnp.asarray(xyz), sel)
+            box = fit_box_zup(xyz_j, sel)
             extents = np.asarray(box.extents)
             seg = HoughSegment(
                 kind="cuboid",
@@ -280,7 +628,9 @@ def hough_segment(
                 votes=lv,
             )
         if seg.num_inliers < cfg.min_inliers:
+            if cfg.deal_with_the_rest_of_the_points:
+                segments.extend(_pca_box_objects(xyz, live_np, cfg))
             break
         segments.append(seg)
-        live = live & ~jnp.asarray(claimed)
+        live_np = live_np & ~seg.inliers
     return segments
