@@ -37,11 +37,14 @@ def rbf_kernel(x: jax.Array, z: jax.Array, gamma: float) -> jax.Array:
 
 
 def _smo(Q: jax.Array, y: jax.Array, valid: jax.Array, C: float,
-         tol: float, max_iter: int) -> Tuple[jax.Array, jax.Array]:
+         tol: float, max_iter: int
+         ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Single binary C-SVC dual solve on a padded problem.
 
     Q: (n, n) = y_i y_j K_ij with padded rows/cols zeroed via ``valid``.
-    Returns (alpha (n,), rho ()).  Padded lanes keep alpha = 0.
+    Returns (alpha (n,), rho (), final KKT gap (), iterations ()).
+    Padded lanes keep alpha = 0.  Callers should treat gap >= tol at exit
+    as non-convergence (libsvm's own iteration cap is far higher).
     """
     n = Q.shape[0]
     big = jnp.float32(1e30)
@@ -83,7 +86,7 @@ def _smo(Q: jax.Array, y: jax.Array, valid: jax.Array, C: float,
 
     alpha0 = jnp.zeros((n,), jnp.float32)
     G0 = jnp.full((n,), -1.0)  # G = Qa - e
-    alpha, G, _, _ = jax.lax.while_loop(
+    alpha, G, it_final, gap_final = jax.lax.while_loop(
         cond, body, (alpha0, G0, jnp.int32(0), jnp.float32(jnp.inf))
     )
     # recompute the gradient from the final alphas in one exact matmul —
@@ -103,7 +106,7 @@ def _smo(Q: jax.Array, y: jax.Array, valid: jax.Array, C: float,
     lb = jnp.max(jnp.where(lb_set, yG, -big))
     rho_free = jnp.sum(jnp.where(free, yG, 0.0)) / jnp.maximum(n_free, 1)
     rho = jnp.where(n_free > 0, rho_free, (ub + lb) / 2.0)
-    return alpha, rho
+    return alpha, rho, gap_final, it_final
 
 
 @dataclasses.dataclass
@@ -127,7 +130,7 @@ def train_svc_ovo(
     C: float = 1.0,
     gamma: Optional[float] = None,
     tol: float = 1e-3,
-    max_iter: int = 4000,
+    max_iter: int = 20000,
 ) -> OVOSVM:
     """Train all C·(C−1)/2 RBF one-vs-one subproblems in one vmap.
 
@@ -168,7 +171,19 @@ def train_svc_ovo(
 
         return jax.vmap(one)(idxd, yd)
 
-    alpha, rho = solve_all(Xd, idxd, yd)
+    alpha, rho, gaps, iters = solve_all(Xd, idxd, yd)
+    gaps, iters = np.asarray(gaps), np.asarray(iters)
+    bad = np.nonzero(gaps >= tol)[0]
+    if len(bad):
+        import warnings
+        worst = bad[np.argmax(gaps[bad])]
+        warnings.warn(
+            f"SMO hit max_iter={max_iter} before convergence on "
+            f"{len(bad)}/{P} one-vs-one pairs (worst pair "
+            f"{tuple(pairs[worst])}: gap {gaps[worst]:.2e} >= tol {tol:g}); "
+            "alphas exported anyway — raise max_iter for exact duals.",
+            stacklevel=2,
+        )
     alpha = np.array(alpha)
     alpha[pair_idx < 0] = 0.0
     return OVOSVM(
@@ -180,20 +195,24 @@ def train_svc_ovo(
 
 
 def predict_ovo(model: OVOSVM, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(M, D) → (labels (M,), votes (M, C)). One kernel matmul total."""
+    """(M, D) → (labels (M,), votes (M, C)). One kernel matmul total;
+    the per-pair coefficient scatter and the vote tally are both single
+    vectorized scatters (no Python loop over the P = C(C−1)/2 pairs, which
+    at the 63-class corpus is 1,953)."""
     x = jnp.asarray(x, jnp.float32)
+    P, N = len(model.pairs), model.X.shape[0]
     K = rbf_kernel(x, jnp.asarray(model.X), model.gamma)  # (M, N)
     # per-pair decision: sum over that pair's SVs of alpha_y * K
-    ay = np.zeros((len(model.pairs), model.X.shape[0]), np.float32)
-    for p in range(len(model.pairs)):
-        sel = model.pair_idx[p][model.pair_idx[p] >= 0]
-        ay[p, sel] += model.alpha_y[p][model.pair_idx[p] >= 0]
+    ay = np.zeros((P, N), np.float32)
+    ok = model.pair_idx >= 0
+    rows = np.broadcast_to(np.arange(P)[:, None], model.pair_idx.shape)
+    np.add.at(ay, (rows[ok], model.pair_idx[ok]), model.alpha_y[ok])
     dec = K @ jnp.asarray(ay).T - jnp.asarray(model.rho)[None, :]  # (M, P)
+    win = (dec > 0).astype(jnp.int32)  # (M, P)
+    pi = jnp.asarray(model.pairs[:, 0])
+    pj = jnp.asarray(model.pairs[:, 1])
     votes = jnp.zeros((x.shape[0], model.num_classes), jnp.int32)
-    for p, (i, j) in enumerate(model.pairs):
-        win = dec[:, p] > 0
-        votes = votes.at[:, i].add(win.astype(jnp.int32))
-        votes = votes.at[:, j].add((~win).astype(jnp.int32))
+    votes = votes.at[:, pi].add(win).at[:, pj].add(1 - win)
     return jnp.argmax(votes, axis=-1), votes
 
 
@@ -252,9 +271,17 @@ def save_libsvm_model(model: SVMModel, path: str) -> None:
         fp.write("label " + " ".join(str(int(l)) for l in model.labels) + "\n")
         fp.write("nr_sv " + " ".join(str(int(n)) for n in model.nr_sv) + "\n")
         fp.write("SV\n")
+        D = model.support_vectors.shape[1] if len(model.support_vectors) else 0
         for k, sv in enumerate(model.support_vectors):
             coefs = " ".join(f"{model.sv_coef[r, k]:.17g}" for r in range(C - 1))
+            # Sparse like libsvm, but always emit the LAST feature index so
+            # a dimension that happens to be zero in every SV can't shrink
+            # the loader's inferred dimensionality (which would silently
+            # truncate query vectors and drop their x_d² term from the RBF
+            # distance).
             feats = " ".join(
-                f"{i + 1}:{v:.8g}" for i, v in enumerate(sv) if v != 0.0
+                f"{i + 1}:{v:.8g}"
+                for i, v in enumerate(sv)
+                if v != 0.0 or i == D - 1
             )
             fp.write(f"{coefs} {feats} \n")

@@ -94,6 +94,21 @@ class HoughConfig:
     clustering_feature_for_lines: bool = True  # :128
     clustering_feature_for_circles: bool = True  # :129
     inliers_clustering_tolerance: float = 0.015  # :130-131
+    # The reference tunes its tolerance (0.010) to dense Kinect clouds
+    # (~2 mm point spacing).  On sparser clouds a fixed tolerance
+    # fragments a candidate's inliers into sub-min_inliers shards and the
+    # gate rejects everything, so the effective tolerance adapts:
+    # max(inliers_clustering_tolerance, spacing_multiplier * p90 NN spacing).
+    clustering_spacing_multiplier: float = 2.5
+    # The reference rejects a candidate whose best cluster has ≤1 matching
+    # curvatures (sequential_hough.cpp:760-764) and relies on dataset-tuned
+    # absolute thresholds (recipe: minimum_size_of_circle_inliers_clusters
+    # 250, minimum_circle_inliers 500 — readme/sequential_hough:4) plus MLS
+    # smoothing to kill noise candidates.  Scale-free equivalent: require a
+    # minimum FRACTION of the kept inliers to carry matching curvature — a
+    # real cylinder ring is ~90%+ circular-curvature, a noise circle traced
+    # through a flat region is <1%.
+    min_matching_curvature_fraction: float = 0.10
     normal_feature_for_lines: bool = False  # executed ref path: commented out
     normal_feature_for_circles: bool = False
     line_normals_angle_threshold: float = 2.5  # degrees, :137
@@ -255,18 +270,21 @@ def _classify_size(extents: np.ndarray, cfg: HoughConfig) -> str:
 # hypothesis gates
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _clustering_gate(xyz, inl, planar, want_planar, cfg: HoughConfig):
+@partial(jax.jit, static_argnums=(4,))
+def _clustering_gate(xyz, inl, planar, tol, want_planar):
     """ClusteringFeatureForLines/Circles (sequential_hough.cpp:662-1255):
     euclidean-cluster the candidate's inliers; per cluster count the points
     whose curvature matches the model family (planar for lines, circular
     for circles); keep the cluster with the most matching curvatures.
 
+    ``tol`` is traced (data-adaptive — see HoughConfig.clustering_spacing_
+    multiplier), so per-scene tolerances don't retrigger compilation.
+
     Returns (kept_mask, n_match_best): kept_mask is the winning cluster's
     members (all False when no cluster), n_match_best its matching-
     curvature count (the reference rejects the model when ≤ 1)."""
     n = xyz.shape[0]
-    labels = euclidean_cluster(xyz, inl, cfg.inliers_clustering_tolerance)
+    labels = euclidean_cluster(xyz, inl, tol)
     match = planar if want_planar else ~planar
     w = (inl & match).astype(jnp.int32)
     counts = jnp.zeros((n + 1,), jnp.int32).at[labels].add(w)
@@ -348,6 +366,8 @@ def _point_features(cloud: PointCloud, cfg: HoughConfig):
     from mapping_private_tpu.features.rsd import rsd_radii
     from mapping_private_tpu.ops.normals import estimate_normals
 
+    from mapping_private_tpu.ops.neighbors import knn_bruteforce
+
     cloud_n = estimate_normals(cloud, k=cfg.normal_search_k)
     normals = cloud_n.channel("normal")
     curvature = cloud_n.channel("curvature")
@@ -357,7 +377,14 @@ def _point_features(cloud: PointCloud, cfg: HoughConfig):
         radius=cfg.rsd_search_radius, k=16,
         plane_radius=cfg.rsd_plane_radius,
     )
-    return normals[:, :2], curvature, r_min
+    # p90 nearest-neighbor spacing of the live cloud, for the adaptive
+    # inlier-clustering tolerance (dead rows sort to +inf, masked out by
+    # taking the quantile over live entries only).
+    _, sq1 = knn_bruteforce(xyz, xyz, cloud.mask, k=1, exclude_self=True)
+    d1 = jnp.sqrt(jnp.maximum(sq1[:, 0], 0.0))
+    d1 = jnp.where(cloud.mask, d1, jnp.nan)
+    spacing_p90 = jnp.nanpercentile(d1, 90.0)
+    return normals[:, :2], curvature, r_min, spacing_p90
 
 
 def _pca_box_objects(
@@ -453,12 +480,18 @@ def hough_segment(
 
     gates = cfg.use_feature_gates
     if gates:
-        normals_xy, curvature, r_min = _point_features(cloud, cfg)
+        normals_xy, curvature, r_min, spacing_p90 = _point_features(cloud, cfg)
         planar = (curvature < cfg.curvature_threshold) & cloud.mask
         planar_np = np.asarray(planar)
+        cluster_tol = jnp.maximum(
+            jnp.float32(cfg.inliers_clustering_tolerance),
+            cfg.clustering_spacing_multiplier
+            * jnp.nan_to_num(spacing_p90, nan=0.0),
+        )
     else:
         normals_xy = curvature = r_min = None
         planar = planar_np = None
+        cluster_tol = None
 
     segments: List[HoughSegment] = []
 
@@ -477,8 +510,6 @@ def hough_segment(
         lv, cv = int(r["line_votes"]), int(r["circ_votes"])
         lcount, ccount = int(r["line_count"]), int(r["circ_count"])
         if max(lcount, ccount) < cfg.min_inliers:
-            if cfg.deal_with_the_rest_of_the_points:
-                segments.extend(_pca_box_objects(xyz, live_np, cfg))
             break
 
         # ---------------- line candidate + gates ----------------
@@ -486,8 +517,12 @@ def hough_segment(
         line_n, line_rho = r["line_n"], r["line_rho"]
         valid_line = lcount >= cfg.min_inliers
         if valid_line and gates and cfg.clustering_feature_for_lines:
-            kept, n_planar = _clustering_gate(xyz_j, line_inl, planar, True, cfg)
-            if int(n_planar) <= 1:
+            kept, n_planar = _clustering_gate(
+                xyz_j, line_inl, planar, cluster_tol, True)
+            kept_n = int(jnp.sum(kept))
+            if int(n_planar) <= 1 or (
+                int(n_planar) < cfg.min_matching_curvature_fraction * kept_n
+            ):
                 valid_line = False
             else:
                 line_inl = kept
@@ -527,8 +562,12 @@ def hough_segment(
         circ_c, circ_r = r["circ_c"], r["circ_r"]
         valid_circle = ccount >= cfg.min_inliers
         if valid_circle and gates and cfg.clustering_feature_for_circles:
-            kept, n_circ = _clustering_gate(xyz_j, circ_inl, planar, False, cfg)
-            if int(n_circ) <= 1:
+            kept, n_circ = _clustering_gate(
+                xyz_j, circ_inl, planar, cluster_tol, False)
+            kept_n = int(jnp.sum(kept))
+            if int(n_circ) <= 1 or (
+                int(n_circ) < cfg.min_matching_curvature_fraction * kept_n
+            ):
                 valid_circle = False
             else:
                 circ_inl = kept
@@ -567,8 +606,6 @@ def hough_segment(
 
         # --------- decide line vs circle (larger filtered cloud, :4238) ----
         if not valid_line and not valid_circle:
-            if cfg.deal_with_the_rest_of_the_points:
-                segments.extend(_pca_box_objects(xyz, live_np, cfg))
             break
         use_circle = valid_circle and (not valid_line or circ_size >= line_size)
 
@@ -628,9 +665,14 @@ def hough_segment(
                 votes=lv,
             )
         if seg.num_inliers < cfg.min_inliers:
-            if cfg.deal_with_the_rest_of_the_points:
-                segments.extend(_pca_box_objects(xyz, live_np, cfg))
             break
         segments.append(seg)
         live_np = live_np & ~seg.inliers
+
+    # Rest-of-points pass runs after the hough loop regardless of how it
+    # ended (break or max_objects exhausted) — the reference's
+    # deal_with_the_rest_of_the_points sits after the while loop
+    # (sequential_hough.cpp:6357).
+    if cfg.deal_with_the_rest_of_the_points and live_np.any():
+        segments.extend(_pca_box_objects(xyz, live_np, cfg))
     return segments

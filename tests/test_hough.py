@@ -1,10 +1,12 @@
 """Tests for sequential Hough-voting segmentation."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mapping_private_tpu.core import PointCloud
 from mapping_private_tpu.models.hough_segmentation import (
     HoughConfig,
+    _clustering_gate,
     hough_segment,
 )
 
@@ -76,3 +78,65 @@ class TestHoughSegmentation:
         cloud = PointCloud.from_numpy(np.zeros((0, 3), np.float32))
         segs = hough_segment(cloud, jax.random.PRNGKey(2))
         assert segs == []
+
+
+class TestHypothesisGates:
+    """One candidate each gate must reject and must pass
+    (ClusteringFeatureForLines/Circles, sequential_hough.cpp:662-1255)."""
+
+    def _two_blob_candidate(self):
+        """Inliers spanning two well-separated blobs: blob A rich in
+        matching curvature, blob B poor — the gate must keep A only."""
+        rng = np.random.default_rng(3)
+        a = rng.uniform(0, 0.05, (60, 3)).astype(np.float32)
+        b = rng.uniform(0, 0.05, (40, 3)).astype(np.float32) + np.float32(1.0)
+        xyz = jnp.asarray(np.vstack([a, b]))
+        inl = jnp.ones((100,), bool)
+        # planar curvature on blob A only
+        planar = jnp.asarray(np.arange(100) < 60)
+        return xyz, inl, planar
+
+    def test_clustering_gate_keeps_best_cluster(self):
+        xyz, inl, planar = self._two_blob_candidate()
+        kept, n_match = _clustering_gate(xyz, inl, planar, jnp.float32(0.05), True)
+        kept = np.asarray(kept)
+        assert int(n_match) == 60
+        assert kept[:60].all() and not kept[60:].any()
+
+    def test_clustering_gate_rejects_no_matching_curvature(self):
+        """A circle candidate whose inliers are all planar-curvature points
+        has ≤1 matching (non-planar) curvature → the reference rejects it
+        (maximum_size_of_curvature_clusters <= 1, sequential_hough.cpp:760-764)."""
+        xyz, inl, planar = self._two_blob_candidate()
+        all_planar = jnp.ones_like(planar)
+        _, n_match = _clustering_gate(
+            xyz, inl, all_planar, jnp.float32(0.05), False)
+        assert int(n_match) <= 1  # caller rejects the candidate
+
+    def test_gates_reject_circle_on_flat_patch(self):
+        """End-to-end reject: a dense flat patch offers plenty of
+        >min_inliers circle candidates (any ring through a filled planar
+        region), but every point has planar curvature, so the circle
+        clustering gate must kill them — no cylinder may be emitted."""
+        rng = np.random.default_rng(4)
+        pts = np.column_stack([
+            rng.uniform(0, 0.3, 4000),
+            rng.uniform(0, 0.3, 4000),
+            np.full(4000, 0.05) + rng.normal(0, 0.0005, 4000),
+        ]).astype(np.float32)
+        cloud = PointCloud.from_numpy(pts)
+        cfg = HoughConfig(max_objects=3, min_inliers=80,
+                          deal_with_the_rest_of_the_points=False)
+        segs = hough_segment(cloud, jax.random.PRNGKey(5), cfg)
+        assert all(s.kind != "cylinder" for s in segs)
+
+    def test_gates_pass_good_candidates(self):
+        """End-to-end accept under the default (gates-on) config: the main
+        scene's cuboid and cylinder must both survive every gate."""
+        pts, _, _ = _tabletop_scene(2)
+        cloud = PointCloud.from_numpy(pts)
+        cfg = HoughConfig(max_objects=4, min_inliers=80)
+        assert cfg.use_feature_gates  # the gates really are on by default
+        segs = hough_segment(cloud, jax.random.PRNGKey(6), cfg)
+        kinds = {s.kind for s in segs}
+        assert "cuboid" in kinds and "cylinder" in kinds
