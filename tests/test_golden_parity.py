@@ -44,3 +44,27 @@ def test_colorchlac117_golden(reference_root, shape):
         np.testing.assert_allclose(mine, gold, rtol=2e-3, atol=0.02)
         n_checked += 1
     assert n_checked >= 5
+
+
+def test_grsd20_golden(reference_root, shape):
+    """GRSD-20 bit-parity with the golden corpus via the reconstructed
+    era chain (voxel_types_era + grsd20_era; derivation in
+    scripts/grsd_oracle.py — 28/28 shape×color pairs exact).  A single
+    misclassified voxel shifts an integer count, so the tolerance below
+    effectively demands every voxel's surface type match."""
+    from mapping_private_tpu.io import load_pcd, load_pcd_arrays
+    from mapping_private_tpu.features.extract import extract_grsd_cchlac
+
+    base = reference_root / "color_chlac/demos/shape_data"
+    n_checked = 0
+    for color in COLORS:
+        src = base / f"noiseless_{shape}_{color}.pcd"
+        gf = base / f"noiseless_{shape}_{color}_GRSD_CCHLAC.pcd"
+        if not src.exists() or not gf.exists():
+            continue
+        cloud = load_pcd(str(src))
+        gold = load_pcd_arrays(str(gf))["vfh"][0][:20]
+        mine = np.asarray(extract_grsd_cchlac(cloud, legacy_zeroth_scale=True))[:20]
+        np.testing.assert_allclose(mine, gold, atol=0.01)
+        n_checked += 1
+    assert n_checked >= 5
