@@ -84,6 +84,14 @@ class HoughConfig:
     short_value: float = 0.25
     # --- hypothesis gates (reference defaults :88-136, recipes readme/) ---
     use_feature_gates: bool = True
+    # MLS smoothing preamble (sequential_hough.cpp:1815-1860; the real-data
+    # recipes run it with -smoothing_search_radius 0.020,
+    # readme/sequential_hough:1-5).  Off by default: synthetic scenes don't
+    # need it, real Kinect scans do — without it, sensor noise leaks
+    # non-planar curvature onto flat faces and the curvature gates lose
+    # their discriminative power.
+    mls_smoothing: bool = False
+    smoothing_search_radius: float = 0.020
     normal_search_k: int = 16  # normal_search_radius 0.02 as a kNN cap
     curvature_threshold: float = 0.010  # :88
     rsd_search_radius: float = 0.020  # :89
@@ -111,6 +119,15 @@ class HoughConfig:
     min_matching_curvature_fraction: float = 0.10
     normal_feature_for_lines: bool = False  # executed ref path: commented out
     normal_feature_for_circles: bool = False
+    # Scale-free strengthening of NormalFeatureForCircles for real scans:
+    # among candidate inliers whose normal is side-facing (|n_xy| ≥ 0.5),
+    # require at least this fraction to point radially (within
+    # circle_normals_angle_threshold) from the circle center.  A real
+    # cylinder wall is ~100% radial; a flat face cut by a circle is only
+    # radial on a tiny arc.  0 disables (the reference's executed default —
+    # its own gate only rejects when NO inlier is radial,
+    # sequential_hough.cpp:1420-1427, which noise trivially satisfies).
+    circle_side_radiality_fraction: float = 0.0
     line_normals_angle_threshold: float = 2.5  # degrees, :137
     circle_normals_angle_threshold: float = 10.0  # :138
     minimum_line_length: float = 0.025  # :115
@@ -368,7 +385,10 @@ def _point_features(cloud: PointCloud, cfg: HoughConfig):
 
     from mapping_private_tpu.ops.neighbors import knn_bruteforce
 
-    cloud_n = estimate_normals(cloud, k=cfg.normal_search_k)
+    if "normal" in cloud.channels and "curvature" in cloud.channels:
+        cloud_n = cloud  # MLS preamble already attached smoothed features
+    else:
+        cloud_n = estimate_normals(cloud, k=cfg.normal_search_k)
     normals = cloud_n.channel("normal")
     curvature = cloud_n.channel("curvature")
     xyz = cloud.padded_xyz()
@@ -471,6 +491,10 @@ def hough_segment(
     The cloud should already be table-relative (or pass table_z to subtract).
     Returns segments best-first; each claims a disjoint set of points.
     """
+    if cfg.mls_smoothing:
+        from mapping_private_tpu.ops.mls import mls
+
+        cloud = mls(cloud, search_radius=cfg.smoothing_search_radius)
     xyz = np.asarray(cloud.padded_xyz())
     z_off = float(table_z) if table_z is not None else 0.0
     xy = jnp.asarray(xyz[:, :2])
@@ -599,6 +623,17 @@ def hough_segment(
                 cfg.circle_normals_angle_threshold,
             )
             if int(jnp.sum(circ_inl)) == 0:
+                valid_circle = False
+        if valid_circle and gates and cfg.circle_side_radiality_fraction > 0:
+            side = jnp.linalg.norm(normals_xy, axis=-1) >= 0.5
+            cand_side = circ_inl & side
+            n_side = int(jnp.sum(cand_side))
+            radial = _normal_gate_circle(
+                xy, normals_xy, cand_side, circ_c,
+                cfg.circle_normals_angle_threshold,
+            )
+            frac = int(jnp.sum(radial)) / max(n_side, 1)
+            if n_side == 0 or frac < cfg.circle_side_radiality_fraction:
                 valid_circle = False
         circ_size = int(np.asarray(circ_inl).sum()) if valid_circle else 0
         if circ_size < cfg.min_inliers:

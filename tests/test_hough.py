@@ -140,3 +140,73 @@ class TestHypothesisGates:
         segs = hough_segment(cloud, jax.random.PRNGKey(6), cfg)
         kinds = {s.kind for s in segs}
         assert "cuboid" in kinds and "cylinder" in kinds
+
+
+class TestHoughRealData:
+    """Sequential hough on REAL Kinect scans from the bundled corpus
+    (color_feature_classification/demos/data) — the reference's own
+    methodology of per-dataset recipes on real PCDs
+    (hough_segmentation/readme/sequential_hough; the recipes' scene files
+    are not in the snapshot, so scenes are composed from the corpus'
+    real object views placed on a common table plane)."""
+
+    DATA = "/root/reference/color_feature_classification/demos/data"
+
+    def _zup(self, path):
+        """Camera-frame Kinect view (y down, z forward) → table frame
+        (z up), resting on z=0."""
+        from mapping_private_tpu.io import load_pcd_arrays
+
+        a = load_pcd_arrays(path)
+        xyz = np.stack([a["x"], a["z"], -a["y"]], 1).astype(np.float32)
+        return xyz - xyz.min(0)
+
+    def test_two_real_cylinders(self):
+        """A real soup can + a real plastic cup, set apart on a table:
+        each must be extracted as its own cylinder with a plausible
+        radius, with no cross-object point stealing."""
+        can = self._zup(f"{self.DATA}/obj008/tomato-soup_0000.pcd")
+        cup = self._zup(f"{self.DATA}/obj026/plastic_cup2_0000.pcd")
+        cup[:, 0] += 0.35
+        pts = np.vstack([can, cup])
+        cloud = PointCloud.from_numpy(pts)
+        cfg = HoughConfig(max_objects=4, min_inliers=150, mls_smoothing=True)
+        segs = hough_segment(cloud, jax.random.PRNGKey(0), cfg)
+        cyls = [s for s in segs if s.kind == "cylinder"]
+        assert len(cyls) >= 2
+        # match each object to the cylinder that claims it
+        n_can = len(can)
+        got_can = got_cup = False
+        for s in cyls:
+            in_can = int(s.inliers[:n_can].sum())
+            in_cup = int(s.inliers[n_can:].sum())
+            purity = max(in_can, in_cup) / max(in_can + in_cup, 1)
+            assert purity > 0.95, "cylinder mixes the two objects"
+            _, r, _, _ = s.cylinder
+            if in_can > in_cup and in_can > 2000:
+                got_can = True
+                assert 0.02 < r < 0.05  # soup can radius ≈ 0.035
+            if in_cup > in_can and in_cup > 1500:
+                got_cup = True
+                assert 0.02 < r < 0.06
+        assert got_can and got_cup
+
+    def test_real_can_not_stolen_by_box_object(self):
+        """Soup can + milk carton: whatever the carton segments into, the
+        can must come out as a clean cylinder of its own points."""
+        can = self._zup(f"{self.DATA}/obj008/tomato-soup_0000.pcd")
+        carton = self._zup(f"{self.DATA}/obj020/hvoll_milch_ap_0000.pcd")
+        carton[:, 0] += 0.35
+        pts = np.vstack([can, carton])
+        cloud = PointCloud.from_numpy(pts)
+        cfg = HoughConfig(max_objects=4, min_inliers=150, mls_smoothing=True)
+        segs = hough_segment(cloud, jax.random.PRNGKey(0), cfg)
+        n_can = len(can)
+        can_cyls = [
+            s for s in segs if s.kind == "cylinder"
+            and int(s.inliers[:n_can].sum()) > 2000
+        ]
+        assert len(can_cyls) == 1
+        s = can_cyls[0]
+        assert int(s.inliers[n_can:].sum()) == 0  # no carton points
+        assert 0.02 < s.cylinder[1] < 0.05
