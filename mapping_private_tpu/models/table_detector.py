@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,12 @@ class TableDetectorConfig:
     delta_z: float = 0.03
     object_min_distance_from_table: float = 0.10
     min_table_inliers: int = 100
+    # `one_table` wanted-table gating
+    # (table_object_detector_passive_one_table.cpp:201-206, :434-445):
+    # when set, a candidate plane is accepted only if its inlier centroid
+    # lies within sqrt(max_sqr_dist_to_wanted_table) of this (x, y).
+    wanted_table_center: Optional[Tuple[float, float]] = None
+    max_sqr_dist_to_wanted_table: float = 1.0
     # static capacities
     down_capacity: int = 8192
     max_table_candidates: int = 4
@@ -138,7 +144,18 @@ def detect_table(
         )
         count = jnp.sum(inl.astype(jnp.int32))
         z_ok = jnp.abs(plane[2]) >= jnp.cos(cfg.eps_angle)
-        return plane, inl, jnp.where(z_ok, count, -1)
+        ok = z_ok
+        if cfg.wanted_table_center is not None:
+            # one_table gate: candidate centroid near the wanted table
+            w = inl.astype(jnp.float32)
+            centroid = jnp.sum(
+                down.padded_xyz()[:, :2] * w[:, None], axis=0
+            ) / jnp.maximum(jnp.sum(w), 1.0)
+            d2 = jnp.sum(
+                (centroid - jnp.asarray(cfg.wanted_table_center)) ** 2
+            )
+            ok = ok & (d2 < cfg.max_sqr_dist_to_wanted_table)
+        return plane, inl, jnp.where(ok, count, -1)
 
     planes, inlier_sets, counts = jax.vmap(fit_one)(keys, members)
     best = jnp.argmax(counts)

@@ -152,6 +152,55 @@ def _candidate_gather(
     return slots.reshape(q, -1), valid.reshape(q, -1)
 
 
+def nn_grid_1nn(
+    grid: GridHash,
+    query_xyz: jax.Array,
+    cap_per_cell: int = 16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scalable exact-within-stencil 1-NN: O(Q·cap) memory.
+
+    The big-cloud replacement for the reference's per-query kd-tree
+    (cloud_algos/src/registration.cpp:128): exact whenever the true NN
+    lies within cell_size of the query and no stencil cell overflows
+    cap_per_cell.  Unrolls the 27 stencil cells as a host loop of
+    (Q, cap) chunks with PER-COORDINATE gathers — a single (Q, 27·cap, 3)
+    gather tile-pads the size-3 minor axis to 128 lanes on TPU and
+    explodes HBM ~42× (observed: 44 GB at Q=200k).
+
+    Returns (idx (Q,) int32 original row ids or −1, sq_dists (Q,)).
+    """
+    q = query_xyz.shape[0]
+    n = grid.sorted_keys.shape[0]
+    qcell = jnp.floor(query_xyz / grid.cell_size).astype(jnp.int32)
+    qx, qy, qz = query_xyz[:, 0], query_xyz[:, 1], query_xyz[:, 2]
+    sx = grid.sorted_xyz[:, 0]
+    sy = grid.sorted_xyz[:, 1]
+    sz = grid.sorted_xyz[:, 2]
+    lane = jnp.arange(cap_per_cell, dtype=jnp.int32)
+    best_d2 = jnp.full((q,), _INF)
+    best_slot = jnp.zeros((q,), jnp.int32)
+    for off in [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                for dz in (-1, 0, 1)]:
+        keys = _cell_key(qcell + jnp.asarray(off, jnp.int32)[None, :])
+        start = jnp.searchsorted(grid.sorted_keys, keys, side="left")
+        end = jnp.searchsorted(grid.sorted_keys, keys, side="right")
+        slots = jnp.clip(start[:, None] + lane[None, :], 0, n - 1)  # (Q,cap)
+        valid = start[:, None] + lane[None, :] < end[:, None]
+        dx_ = sx[slots] - qx[:, None]
+        dy_ = sy[slots] - qy[:, None]
+        dz_ = sz[slots] - qz[:, None]
+        d2 = jnp.where(valid, dx_ * dx_ + dy_ * dy_ + dz_ * dz_, _INF)
+        m = jnp.min(d2, axis=1)
+        am = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        upd = m < best_d2
+        best_slot = jnp.where(upd, jnp.take_along_axis(
+            slots, am[:, None], axis=1)[:, 0], best_slot)
+        best_d2 = jnp.minimum(best_d2, m)
+    idx = grid.sorted_idx[best_slot]
+    ok = jnp.isfinite(best_d2)
+    return jnp.where(ok, idx, -1).astype(jnp.int32), best_d2
+
+
 def knn_grid(
     grid: GridHash,
     query_xyz: jax.Array,
@@ -169,10 +218,15 @@ def knn_grid(
     Returns (idx (Q,k) int32 original row ids or −1, sq_dists (Q,k)).
     """
     slots, valid = _candidate_gather(grid, query_xyz, cap_per_cell)  # (Q,C)
-    cand_xyz = grid.sorted_xyz[slots]  # (Q,C,3)
+    # per-coordinate gathers: a (Q,C,3) gather tile-pads 3→128 on TPU
+    cx = grid.sorted_xyz[:, 0][slots]
+    cy = grid.sorted_xyz[:, 1][slots]
+    cz = grid.sorted_xyz[:, 2][slots]
     cand_idx = grid.sorted_idx[slots]  # (Q,C)
-    diff = cand_xyz - query_xyz[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
+    dx = cx - query_xyz[:, 0][:, None]
+    dy = cy - query_xyz[:, 1][:, None]
+    dz = cz - query_xyz[:, 2][:, None]
+    d2 = dx * dx + dy * dy + dz * dz
     d2 = jnp.where(valid, d2, _INF)
     if self_idx is not None:
         d2 = jnp.where(cand_idx == self_idx[:, None], _INF, d2)

@@ -118,11 +118,12 @@ def icp_point_to_plane(
         nn_backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 
     if nn_backend == "grid":
+        from mapping_private_tpu.ops.neighbors import nn_grid_1nn
+
         grid = build_grid_hash(tgt_xyz, tgt_mask, grid_cell)
 
         def nn_fn(p):
-            idx, sq = knn_grid(grid, p, k=1, cap_per_cell=cap_per_cell)
-            return idx[:, 0], sq[:, 0]
+            return nn_grid_1nn(grid, p, cap_per_cell=cap_per_cell)
 
     elif nn_backend == "pallas":
         # exact argmin NN in one pallas kernel (VPU broadcast distances,

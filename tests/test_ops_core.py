@@ -54,6 +54,29 @@ class TestKNN:
         ref = np.sort(d2, axis=1)[:, :k]
         np.testing.assert_allclose(np.sort(sq[:300], 1), ref, rtol=1e-4, atol=1e-6)
 
+    def test_nn_grid_1nn_matches_bruteforce(self):
+        """Scalable 1-NN path (nn_grid_1nn): exact agreement with brute
+        force on a scan-like surface (the big-cloud ICP correspondence
+        backend; disagreements may only be f32 near-ties)."""
+        rng = np.random.default_rng(7)
+        n = 8000
+        xy = rng.uniform(0, 5, (n, 2))
+        z = 0.3 * np.sin(xy[:, 0] * 2) + rng.normal(0, 0.005, n)
+        tgt = np.column_stack([xy, z]).astype(np.float32)
+        src = (tgt + rng.normal(0, 0.01, tgt.shape)).astype(np.float32)
+        mask = jnp.ones((n,), bool)
+        from mapping_private_tpu.ops.neighbors import nn_grid_1nn
+
+        grid = build_grid_hash(jnp.asarray(tgt), mask, 0.1)
+        gi, gs = nn_grid_1nn(grid, jnp.asarray(src), cap_per_cell=32)
+        bi, bs = knn_bruteforce(jnp.asarray(src), jnp.asarray(tgt), mask, k=1)
+        # judge both answers by exact f64 distances: the grid pick must be
+        # as close as the brute pick up to f32 representation noise
+        t64, s64 = tgt.astype(np.float64), src.astype(np.float64)
+        d_grid = np.sum((s64 - t64[np.asarray(gi)]) ** 2, axis=1)
+        d_brut = np.sum((s64 - t64[np.asarray(bi[:, 0])]) ** 2, axis=1)
+        assert float(np.max(d_grid - d_brut)) < 1e-8
+
     def test_grid_matches_bruteforce(self):
         xyz = _rand_cloud(400, seed=2)
         cloud = PointCloud.from_numpy(xyz)

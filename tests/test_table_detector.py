@@ -75,3 +75,39 @@ def test_jit_cache_reuse():
     cloud2 = PointCloud.from_numpy(xyz2, capacity=8192)
     det2, _ = detect_table(cloud2, jax.random.PRNGKey(1), cfg)
     assert bool(det1.found) and bool(det2.found)
+
+
+def test_wanted_table_gate():
+    """one_table variant: with two tables in the scene, the wanted-table
+    gate (table_object_detector_passive_one_table.cpp:434-445) must select
+    the table near the configured center even though the other is bigger."""
+    rng = np.random.default_rng(3)
+    # big table A at origin, z=0.75
+    ta = rng.uniform([-0.6, -0.5], [0.6, 0.5], (5000, 2))
+    A = np.column_stack([ta, np.full(len(ta), 0.75) + rng.normal(0, 0.002, len(ta))])
+    # small table B at (2.5, 0), z=0.90
+    tb = rng.uniform([2.2, -0.3], [2.8, 0.3], (2500, 2))
+    B = np.column_stack([tb, np.full(len(tb), 0.90) + rng.normal(0, 0.002, len(tb))])
+    xyz = np.vstack([A, B]).astype(np.float32)
+    cloud = PointCloud.from_numpy(xyz)
+
+    base = TableDetectorConfig(down_capacity=4096, sac_hypotheses=256)
+    det, _ = detect_table(cloud, jax.random.PRNGKey(0), base)
+    assert bool(det.found)
+    z0 = -float(np.asarray(det.plane)[3]) / float(np.asarray(det.plane)[2])
+    np.testing.assert_allclose(z0, 0.75, atol=0.03)  # bigger table wins
+
+    gated = dataclasses.replace(
+        base, wanted_table_center=(2.5, 0.0), max_sqr_dist_to_wanted_table=0.5
+    )
+    det2, _ = detect_table(cloud, jax.random.PRNGKey(0), gated)
+    assert bool(det2.found)
+    z1 = -float(np.asarray(det2.plane)[3]) / float(np.asarray(det2.plane)[2])
+    np.testing.assert_allclose(z1, 0.90, atol=0.03)  # wanted table wins
+
+    # gate pointing nowhere → no table accepted
+    nowhere = dataclasses.replace(
+        base, wanted_table_center=(9.0, 9.0), max_sqr_dist_to_wanted_table=0.25
+    )
+    det3, _ = detect_table(cloud, jax.random.PRNGKey(0), nowhere)
+    assert not bool(det3.found)
