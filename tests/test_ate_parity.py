@@ -102,3 +102,66 @@ class TestATEParity:
             f"ATE {ate_ours} vs reference {ate_ref}"
         )
         assert ate_ours < 0.01
+
+
+class TestATERealData:
+    """Real-scan ATE gate: a REAL Kinect view from the bundled corpus is
+    rigidly moved through a known trajectory (exact GT), each scan keeps
+    an independent random half of the points (so consecutive scans are
+    not the same point set), normals come from the data.  The
+    reference-faithful CPU chain and our TPU chain register the same
+    sequence; ours must match or beat its ATE."""
+
+    def _real_sequence(self, num_scans=5):
+        from mapping_private_tpu.io import load_pcd_arrays
+        from mapping_private_tpu.ops.normals import estimate_normals
+        from mapping_private_tpu.core import PointCloud
+
+        a = load_pcd_arrays(
+            "/root/reference/color_feature_classification/demos/data/"
+            "obj020/hvoll_milch_ap_0000.pcd"
+        )
+        pts = np.stack([a["x"], a["y"], a["z"]], 1).astype(np.float32)
+        pts -= pts.mean(0)
+        rng = np.random.default_rng(0)
+        gt, scans, scan_nrms = [], [], []
+        for k in range(num_scans):
+            xi = np.array(
+                [0.03 * k, -0.015 * k, 0.008 * k, 0.006 * k, 0.0, 0.012 * k],
+                np.float32,
+            )
+            T = np.asarray(se3_exp(jnp.asarray(xi)))
+            gt.append(T)
+            sel = rng.random(len(pts)) < 0.5
+            Tinv = np.asarray(se3_inverse(jnp.asarray(T)))
+            p = (pts[sel] @ Tinv[:3, :3].T + Tinv[:3, 3]).astype(np.float32)
+            c = PointCloud.from_numpy(p)
+            c = estimate_normals(c, k=12)
+            nrm = np.asarray(c.channel("normal"))[np.asarray(c.mask)]
+            scans.append(p)
+            scan_nrms.append(nrm.astype(np.float32))
+        return gt, scans, scan_nrms
+
+    def test_real_scan_trajectory(self):
+        gt, scans, scan_nrms = self._real_sequence(5)
+        ref_traj = _reference_chain(scans, scan_nrms)
+        ate_ref = float(ate_rmse(jnp.asarray(np.stack(ref_traj)),
+                                 jnp.asarray(np.stack(gt))))
+
+        poses = [np.eye(4, dtype=np.float32)]
+        for k in range(1, len(scans)):
+            tgt = jnp.asarray(scans[k - 1])
+            src = jnp.asarray(scans[k])
+            res = icp_point_to_plane(
+                src, jnp.ones((src.shape[0],), bool),
+                tgt, jnp.ones((tgt.shape[0],), bool),
+                jnp.asarray(scan_nrms[k - 1]),
+                iters=10, max_corr_dist=0.1,
+            )
+            poses.append(poses[-1] @ np.asarray(res.transform))
+        ate_ours = float(ate_rmse(jnp.asarray(np.stack(poses)),
+                                  jnp.asarray(np.stack(gt))))
+        assert ate_ours <= max(1.0 * ate_ref, 2e-3), (
+            f"real-data ATE {ate_ours} vs reference {ate_ref}"
+        )
+        assert ate_ours < 0.01
