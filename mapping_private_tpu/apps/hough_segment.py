@@ -22,6 +22,9 @@ def main(argv=None) -> int:
     ap.add_argument("--circle-threshold", type=float, default=0.01)
     ap.add_argument("--denoise", action="store_true")
     ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--dump-viz", default=None, metavar="DIR",
+                    help="write colored PLY + JSON markers per input "
+                         "(the RViz-marker analog, io/viz.py)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
@@ -71,6 +74,14 @@ def main(argv=None) -> int:
                                  f"object-{s.size_class}_{n:02d}.pcd"),
                     {"xyz": xyz[s.inliers]},
                 )
+        if args.dump_viz:
+            from mapping_private_tpu.io.viz import dump_viz, hough_segments_viz
+
+            vx, vc, mk = hough_segments_viz(cloud, segs)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            paths = dump_viz(args.dump_viz, stem, vx, vc, mk)
+            if not args.json:
+                print(f"viz: {paths['ply']} {paths['markers']}")
         results[path] = out
         if not args.json:
             print(f"{path}: {len(segs)} segments")

@@ -68,10 +68,24 @@ def main(argv=None) -> int:
                     help="min_x min_y min_z max_x max_y max_z clip")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--dump-viz", default=None, metavar="DIR",
+                    help="write the belief-state markers JSON (the analog "
+                         "of TableMemory's PolygonalMap/PositionStringList "
+                         "publications, table_memory.cpp:1222-1260)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
     mem = run_pipeline(args.pcds, args.box, args.checkpoint, args.resume,
                        verbose=not args.json)
+    if args.dump_viz:
+        import os
+
+        from mapping_private_tpu.io.viz import save_markers_json, table_memory_viz
+
+        os.makedirs(args.dump_viz, exist_ok=True)
+        mpath = os.path.join(args.dump_viz, "table_memory_markers.json")
+        save_markers_json(mpath, table_memory_viz(mem))
+        if not args.json:
+            print(f"viz: {mpath}")
     print(json.dumps(mem.belief_state(), indent=None if args.json else 2))
     return 0
 

@@ -85,7 +85,7 @@ def _gn_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "nn_backend", "cap_per_cell", "max_corr_dist", "huber_delta", "damping", "grid_cell"),
+    static_argnames=("iters", "nn_backend", "cap_per_cell", "max_corr_dist", "huber_delta", "damping", "grid_cell", "tile_origin", "tile_dims"),
 )
 def icp_point_to_plane(
     src_xyz: jax.Array,
@@ -101,6 +101,8 @@ def icp_point_to_plane(
     nn_backend: str = "auto",
     grid_cell: float = 0.25,
     cap_per_cell: int = 16,
+    tile_origin: Optional[Tuple[float, float, float]] = None,
+    tile_dims: Optional[Tuple[int, int, int]] = None,
 ) -> ICPResult:
     """Align source onto target.  All shapes static.
 
@@ -108,8 +110,12 @@ def icp_point_to_plane(
     ops.normals.estimate_normals if the scan lacks them).
 
     nn_backend: 'pallas' (fused VMEM-tiled kernel, TPU only), 'xla'
-    (dense distance matrix + argmin), 'grid' (grid-hash stencil — wins
-    on CPU / huge clouds).  'auto' → pallas on TPU, xla elsewhere.
+    (dense distance matrix + argmin), 'tiled' (dense per-tile brute
+    blocks — the big-cloud path, N·27·cap work; needs CONCRETE target
+    arrays, so don't wrap the call in an outer jit), 'grid' (grid-hash
+    stencil — CPU fallback).  'auto' → pallas on TPU, xla elsewhere.
+    grid_cell doubles as the tile size for 'tiled' (must be ≥ the
+    largest correspondence distance you care about).
     """
     T0 = jnp.eye(4, dtype=src_xyz.dtype) if init_T is None else init_T
 
@@ -117,7 +123,23 @@ def icp_point_to_plane(
         # axon = the tunneled TPU PJRT platform in this environment
         nn_backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 
-    if nn_backend == "grid":
+    if nn_backend == "tiled":
+        # big-cloud backend: dense per-tile brute blocks (ops/tiled_nn.py)
+        # — N·27·cap work in MXU/VPU-shaped batches.  The static lattice
+        # (tile_origin, tile_dims) must be passed in (use
+        # icp_point_to_plane_tiled to size it from concrete bounds).
+        from mapping_private_tpu.ops.tiled_nn import tiled_nn_for_icp
+
+        if tile_origin is None or tile_dims is None:
+            raise ValueError(
+                "nn_backend='tiled' needs static tile_origin/tile_dims — "
+                "call icp_point_to_plane_tiled(...) instead"
+            )
+        nn_fn = tiled_nn_for_icp(
+            tgt_xyz, tgt_mask, jnp.asarray(tile_origin, jnp.float32),
+            grid_cell, tile_dims, cap_per_cell
+        )
+    elif nn_backend == "grid":
         from mapping_private_tpu.ops.neighbors import nn_grid_1nn
 
         grid = build_grid_hash(tgt_xyz, tgt_mask, grid_cell)
@@ -195,6 +217,26 @@ def icp_point_to_plane(
     T, (rmses, cnts) = jax.lax.scan(body, T0, None, length=iters)
     return ICPResult(
         transform=T, rmse=rmses[-1], num_corr=cnts[-1], per_iter_rmse=rmses
+    )
+
+
+def icp_point_to_plane_tiled(
+    src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals,
+    tile_size: float = 0.25, cap_per_cell: int = 256, **kwargs
+) -> ICPResult:
+    """Big-cloud ICP: sizes the static tile lattice from the CONCRETE
+    target bounds, then runs the jitted solver with the 'tiled' NN
+    backend (dense per-tile brute blocks — see ops/tiled_nn.py)."""
+    import numpy as np
+
+    t_np = np.asarray(tgt_xyz)[np.asarray(tgt_mask)]
+    lo = t_np.min(0) - 2 * tile_size
+    hi = t_np.max(0) + 2 * tile_size
+    dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
+    return icp_point_to_plane(
+        src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals,
+        nn_backend="tiled", grid_cell=tile_size, cap_per_cell=cap_per_cell,
+        tile_origin=tuple(float(v) for v in lo), tile_dims=dims, **kwargs
     )
 
 

@@ -3,13 +3,12 @@ import sys, time
 import numpy as np
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
-from mapping_private_tpu.ops.neighbors import build_grid_hash, knn_grid, knn_bruteforce
+from mapping_private_tpu.ops.tiled_nn import build_tiles, tiled_nn_1nn
 from mapping_private_tpu.ops.pallas_nn import prepare_nn_ref_argmin, nn_argmin_prepared
-from mapping_private_tpu.core.cloud import PAD_COORD
 from mapping_private_tpu.registration.icp import icp_point_to_plane
 
-def timeit(fn, reps=20):
-    fn()  # compile
+def timeit(fn, reps=10):
+    out = fn(); jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn()
@@ -19,52 +18,52 @@ def timeit(fn, reps=20):
 rng = np.random.default_rng(0)
 
 def scan_cloud(n, extent=5.0):
-    # room-scan-like: points on a 2.5D surface over a 5x5m area
     xy = rng.uniform(0, extent, (n, 2))
     z = 0.3*np.sin(xy[:,0]*2) + 0.2*np.cos(xy[:,1]*3) + rng.normal(0, 0.005, n)
     return np.column_stack([xy, z]).astype(np.float32)
 
-N = 200_000
-tgt = scan_cloud(N)
-src = (tgt + rng.normal(0, 0.01, tgt.shape)).astype(np.float32)
-tgt_j, src_j = jnp.asarray(tgt), jnp.asarray(src)
-mask = jnp.ones((N,), bool)
+def lattice(pts, tile):
+    lo = pts.min(0) - 2*tile
+    dims = tuple(int(v) for v in np.ceil((pts.max(0)+2*tile - lo)/tile))
+    return lo, dims
 
-# --- pallas exact 1-NN 200k x 200k
-rt = prepare_nn_ref_argmin(tgt_j)
-f = jax.jit(lambda: nn_argmin_prepared(src_j, rt))
-t = timeit(f, 5)
-print(f"pallas exact 1-NN {N/1e3:.0f}k x {N/1e3:.0f}k: {t*1e3:.1f} ms  ({N*N/t/1e9:.0f} G pairs/s)")
-
-# --- grid-hash 1-NN
-for cell, cap in [(0.05, 16), (0.1, 32)]:
-    grid = build_grid_hash(tgt_j, mask, cell)
-    from mapping_private_tpu.ops.neighbors import nn_grid_1nn
-    g = jax.jit(lambda grid=grid, cap=cap: nn_grid_1nn(grid, src_j, cap_per_cell=cap))
-    t = timeit(g, 10)
-    idx, sq = g()
-    # recall vs pallas (exact)
-    pidx, psq = f()
-    agree = float(jnp.mean((idx == pidx) | (jnp.abs(sq-psq) < 1e-10)))
-    print(f"grid 1-NN cell={cell} cap={cap}: {t*1e3:.2f} ms  agreement={agree:.4f}")
-
-# --- ICP at 200k
-for backend in ["pallas", "grid"]:
-    kw = dict(nn_backend=backend, grid_cell=0.1, cap_per_cell=32, iters=6)
-    icp = jax.jit(lambda: icp_point_to_plane(
-        src_j, mask, tgt_j, mask,
-        jnp.tile(jnp.asarray([0.,0.,1.], jnp.float32), (N,1)), **kw))
-    t = timeit(icp, 5)
-    r = icp()
-    print(f"ICP 6-sweep {N/1e3:.0f}k pts backend={backend}: {t*1e3:.1f} ms  rmse={float(r.rmse):.5f}")
-
-# --- 1M-point grid NN
-N2 = 1_000_000
-tgt2 = jnp.asarray(scan_cloud(N2))
-src2 = jnp.asarray(scan_cloud(N2))
-mask2 = jnp.ones((N2,), bool)
-grid2 = build_grid_hash(tgt2, mask2, 0.05)
-from mapping_private_tpu.ops.neighbors import nn_grid_1nn as _nn1
-g2 = jax.jit(lambda: _nn1(grid2, src2, cap_per_cell=16))
-t = timeit(g2, 5)
-print(f"grid 1-NN 1M x 1M cell=0.05: {t*1e3:.1f} ms")
+for N, tile, cap in [(200_000, 0.25, 512), (1_000_000, 0.1, 256)]:
+    tgt = scan_cloud(N)
+    src = (tgt + rng.normal(0, 0.01, tgt.shape)).astype(np.float32)
+    tgt_j, src_j = jnp.asarray(tgt), jnp.asarray(src)
+    mask = jnp.ones((N,), bool)
+    lo, dims = lattice(tgt, tile)
+    print(f"--- N={N} tile={tile} dims={dims} cap={cap}")
+    tt = build_tiles(tgt_j, mask, lo, tile, dims, cap)
+    ovf = int(np.asarray(tt.rank_of >= cap).sum())
+    f_build = jax.jit(lambda: build_tiles(src_j, mask, lo, tile, dims, cap))
+    f_nn = jax.jit(lambda: tiled_nn_1nn(tt, f_build(), src_j))
+    t = timeit(f_nn, 5)
+    idx, sq = f_nn()
+    ans = float(jnp.mean(idx >= 0))
+    print(f"tiled 1-NN {N/1e3:.0f}k x {N/1e3:.0f}k: {t*1e3:.1f} ms  (overflow={ovf}, answered={ans:.4f})")
+    if N == 200_000:
+        rt = prepare_nn_ref_argmin(tgt_j)
+        fp = jax.jit(lambda: nn_argmin_prepared(src_j, rt))
+        tp = timeit(fp, 5)
+        print(f"pallas brute 1-NN: {tp*1e3:.1f} ms ({N*N/tp/1e9:.0f} G pairs/s)")
+        pidx, psq = fp()
+        t64, s64 = tgt.astype(np.float64), src.astype(np.float64)
+        gi = np.asarray(idx); ok = gi >= 0
+        ex = np.max(np.sum((s64[ok]-t64[gi[ok]])**2,1) - np.sum((s64[ok]-t64[np.asarray(pidx)[ok]])**2,1))
+        print(f"tiled vs pallas max d2 excess: {ex:.2e}")
+    # ICP (not under outer jit: tiled backend needs concrete targets)
+    nrm = jnp.tile(jnp.asarray([0.,0.,1.], jnp.float32), (N,1))
+    t0 = time.time()
+    res = icp_point_to_plane(src_j, mask, tgt_j, mask, nrm,
+                             nn_backend="tiled", grid_cell=tile,
+                             cap_per_cell=cap, iters=6)
+    jax.block_until_ready(res.transform)
+    t_icp1 = time.time()-t0   # includes compile
+    t0 = time.time()
+    res = icp_point_to_plane(src_j, mask, tgt_j, mask, nrm,
+                             nn_backend="tiled", grid_cell=tile,
+                             cap_per_cell=cap, iters=6)
+    jax.block_until_ready(res.transform)
+    t_icp = time.time()-t0
+    print(f"ICP 6-sweep {N/1e3:.0f}k tiled: {t_icp*1e3:.1f} ms (first call {t_icp1:.1f} s)  rmse={float(res.rmse):.5f}")

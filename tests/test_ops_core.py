@@ -176,3 +176,62 @@ class TestNormals:
         # normal should be radial (pointing inward toward viewpoint at origin)
         cosine = np.abs((nrm * xyz).sum(1))
         assert np.median(cosine) > 0.99
+
+
+class TestTiledNN:
+    def test_tiled_matches_bruteforce_exactly(self):
+        """Tiled dense NN (ops/tiled_nn.py): per-tile-centered norm
+        identity must agree with brute force to the last f32 bit on a
+        scan-like surface."""
+        from mapping_private_tpu.ops.tiled_nn import build_tiles, tiled_nn_1nn
+
+        rng = np.random.default_rng(11)
+        n = 10000
+        xy = rng.uniform(0, 5, (n, 2))
+        z = 0.3 * np.sin(xy[:, 0] * 2) + rng.normal(0, 0.005, n)
+        tgt = np.column_stack([xy, z]).astype(np.float32)
+        src = (tgt + rng.normal(0, 0.01, tgt.shape)).astype(np.float32)
+        mask = jnp.ones((n,), bool)
+        tile = 0.25
+        lo = tgt.min(0) - 2 * tile
+        dims = tuple(int(v) for v in np.ceil((tgt.max(0) + 2 * tile - lo) / tile))
+        tt = build_tiles(jnp.asarray(tgt), mask, lo, tile, dims, 128)
+        qt = build_tiles(jnp.asarray(src), mask, lo, tile, dims, 128)
+        gi, gs = tiled_nn_1nn(tt, qt, jnp.asarray(src))
+        bi, bs = knn_bruteforce(jnp.asarray(src), jnp.asarray(tgt), mask, k=1)
+        gi = np.asarray(gi)
+        assert (gi >= 0).all()  # no overflow at this density
+        t64, s64 = tgt.astype(np.float64), src.astype(np.float64)
+        d_g = np.sum((s64 - t64[gi]) ** 2, axis=1)
+        d_b = np.sum((s64 - t64[np.asarray(bi[:, 0])]) ** 2, axis=1)
+        assert float(np.max(d_g - d_b)) <= 0.0
+
+    def test_tiled_icp_backend(self):
+        """ICP with the tiled backend converges on a shifted scan."""
+        from mapping_private_tpu.registration.icp import icp_point_to_plane  # noqa
+        from mapping_private_tpu.core.se3 import se3_exp
+
+        rng = np.random.default_rng(12)
+        n = 8000
+        xy = rng.uniform(0, 3, (n, 2))
+        z = 0.3 * np.sin(xy[:, 0] * 2) + 0.2 * np.cos(xy[:, 1] * 3)
+        tgt = np.column_stack([xy, z]).astype(np.float32)
+        dzdx = 0.6 * np.cos(xy[:, 0] * 2)
+        dzdy = -0.6 * np.sin(xy[:, 1] * 3)
+        nrm = np.column_stack([-dzdx, -dzdy, np.ones(n)])
+        nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(np.float32)
+        xi = jnp.asarray([0.02, -0.01, 0.005, 0.004, 0.0, 0.006], jnp.float32)
+        T_gt = np.asarray(se3_exp(xi))
+        src = (tgt @ np.linalg.inv(T_gt)[:3, :3].T
+               + np.linalg.inv(T_gt)[:3, 3]).astype(np.float32)
+        from mapping_private_tpu.registration.icp import (
+            icp_point_to_plane_tiled,
+        )
+
+        res = icp_point_to_plane_tiled(
+            jnp.asarray(src), jnp.ones((n,), bool),
+            jnp.asarray(tgt), jnp.ones((n,), bool), jnp.asarray(nrm),
+            tile_size=0.25, cap_per_cell=128, iters=8, max_corr_dist=0.3,
+        )
+        err = np.abs(np.asarray(res.transform) - T_gt).max()
+        assert err < 5e-3, err
