@@ -60,6 +60,7 @@ def make_sharded_map_icp_step(
     max_corr_dist: float = 0.3,
     huber_delta: float = 0.05,
     damping: float = 1e-6,
+    scan_chunk: int = 0,
 ):
     """One scan-to-map GN iteration with the MAP sharded over every mesh
     axis — the voxel-block sharding of SURVEY §5.7: a map too large for
@@ -80,20 +81,39 @@ def make_sharded_map_icp_step(
 
     def local_step(scan, scan_mask, mxyz, mmask, mnrm, T):
         p = se3_apply(T, scan)
-        # local exact NN over this device's map shard
-        d2 = (
-            jnp.sum(p * p, -1, keepdims=True)
-            + jnp.sum(mxyz * mxyz, -1, keepdims=True).T
-            - 2.0
-            * jax.lax.dot_general(
-                p, mxyz, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+
+        # local exact NN over this device's map shard; the (N, M_local)
+        # distance matrix is chunked over scan rows so HBM holds only
+        # (scan_chunk, M_local) at a time — this is what lets a shard
+        # carry 64k–1M map points
+        mn2 = jnp.sum(mxyz * mxyz, -1, keepdims=True).T
+
+        def nn_rows(pc):
+            d2 = (
+                jnp.sum(pc * pc, -1, keepdims=True)
+                + mn2
+                - 2.0
+                * jax.lax.dot_general(
+                    pc, mxyz, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             )
-        )
-        d2 = jnp.where(mmask[None, :], d2, jnp.inf)
-        loc = jnp.argmin(d2, axis=1)
-        best_d2 = jnp.take_along_axis(d2, loc[:, None], axis=1)[:, 0]
+            d2 = jnp.where(mmask[None, :], d2, jnp.inf)
+            loc = jnp.argmin(d2, axis=1)
+            return loc, jnp.take_along_axis(d2, loc[:, None], axis=1)[:, 0]
+
+        if scan_chunk and scan.shape[0] > scan_chunk:
+            n_rows = scan.shape[0]
+            n_chunks = -(-n_rows // scan_chunk)
+            pad = n_chunks * scan_chunk - n_rows
+            pc = jnp.pad(p, ((0, pad), (0, 0))).reshape(
+                n_chunks, scan_chunk, 3)
+            loc, best_d2 = jax.lax.map(nn_rows, pc)
+            loc = loc.reshape(-1)[:n_rows]
+            best_d2 = best_d2.reshape(-1)[:n_rows]
+        else:
+            loc, best_d2 = nn_rows(p)
         best_q = mxyz[loc]
         best_n = mnrm[loc]
         # exchange per-shard winners; pick the global best per scan point

@@ -26,9 +26,11 @@ def make_mesh(
     """
     devs = list(devices if devices is not None else jax.devices())
     if axis_sizes is None:
-        axis_sizes = (len(devs), 1)
-    dp, sp = axis_sizes
-    if dp * sp > len(devs):
-        raise ValueError(f"mesh {axis_sizes} needs {dp*sp} devices, have {len(devs)}")
-    grid = np.array(devs[: dp * sp]).reshape(dp, sp)
+        axis_sizes = (len(devs),) + (1,) * (len(axis_names) - 1)
+    if len(axis_sizes) != len(axis_names):
+        raise ValueError(f"{len(axis_sizes)} sizes for {axis_names}")
+    total = int(np.prod(axis_sizes))
+    if total > len(devs):
+        raise ValueError(f"mesh {axis_sizes} needs {total} devices, have {len(devs)}")
+    grid = np.array(devs[:total]).reshape(axis_sizes)
     return Mesh(grid, tuple(axis_names))

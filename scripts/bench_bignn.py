@@ -5,7 +5,7 @@ sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
 from mapping_private_tpu.ops.tiled_nn import build_tiles, tiled_nn_1nn
 from mapping_private_tpu.ops.pallas_nn import prepare_nn_ref_argmin, nn_argmin_prepared
-from mapping_private_tpu.registration.icp import icp_point_to_plane
+from mapping_private_tpu.registration.icp import icp_point_to_plane_tiled
 
 def timeit(fn, reps=10):
     out = fn(); jax.block_until_ready(out)
@@ -27,7 +27,7 @@ def lattice(pts, tile):
     dims = tuple(int(v) for v in np.ceil((pts.max(0)+2*tile - lo)/tile))
     return lo, dims
 
-for N, tile, cap in [(200_000, 0.25, 512), (1_000_000, 0.1, 256)]:
+for N, tile, cap in [(200_000, 0.1, 128), (1_000_000, 0.05, 128)]:
     tgt = scan_cloud(N)
     src = (tgt + rng.normal(0, 0.01, tgt.shape)).astype(np.float32)
     tgt_j, src_j = jnp.asarray(tgt), jnp.asarray(src)
@@ -55,15 +55,13 @@ for N, tile, cap in [(200_000, 0.25, 512), (1_000_000, 0.1, 256)]:
     # ICP (not under outer jit: tiled backend needs concrete targets)
     nrm = jnp.tile(jnp.asarray([0.,0.,1.], jnp.float32), (N,1))
     t0 = time.time()
-    res = icp_point_to_plane(src_j, mask, tgt_j, mask, nrm,
-                             nn_backend="tiled", grid_cell=tile,
-                             cap_per_cell=cap, iters=6)
+    res = icp_point_to_plane_tiled(src_j, mask, tgt_j, mask, nrm,
+                                   tile_size=tile, cap_per_cell=cap, iters=6)
     jax.block_until_ready(res.transform)
     t_icp1 = time.time()-t0   # includes compile
     t0 = time.time()
-    res = icp_point_to_plane(src_j, mask, tgt_j, mask, nrm,
-                             nn_backend="tiled", grid_cell=tile,
-                             cap_per_cell=cap, iters=6)
+    res = icp_point_to_plane_tiled(src_j, mask, tgt_j, mask, nrm,
+                                   tile_size=tile, cap_per_cell=cap, iters=6)
     jax.block_until_ready(res.transform)
     t_icp = time.time()-t0
     print(f"ICP 6-sweep {N/1e3:.0f}k tiled: {t_icp*1e3:.1f} ms (first call {t_icp1:.1f} s)  rmse={float(res.rmse):.5f}")

@@ -103,3 +103,69 @@ class TestShardedMapICP:
         np.testing.assert_allclose(
             np.asarray(T_sh), np.asarray(res.transform), atol=1e-4
         )
+
+
+class TestShardedMapBigShards:
+    def test_64k_points_per_shard_parity(self):
+        """Sharded scan-to-map at production shard sizes: 8 devices ×
+        65,536 map points/shard (524,288-point map), scan chunked so each
+        device's distance blocks stay bounded.  The sharded pose update
+        must match an exact single-machine reference computed in f64."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mapping_private_tpu.core.se3 import se3_exp
+        from mapping_private_tpu.parallel.mesh import make_mesh
+        from mapping_private_tpu.parallel.distributed import (
+            make_sharded_map_icp_step,
+        )
+
+        rng = np.random.default_rng(1)
+        M, N = 8 * 65536, 2048
+        xy = rng.uniform(-5, 5, (M, 2))
+        z = 0.3 * np.sin(2.0 * xy[:, 0]) + 0.2 * np.cos(2.5 * xy[:, 1])
+        map_xyz = np.column_stack([xy, z]).astype(np.float32)
+        dzdx = 0.6 * np.cos(2.0 * xy[:, 0])
+        dzdy = -0.5 * np.sin(2.5 * xy[:, 1])
+        nrm = np.column_stack([-dzdx, -dzdy, np.ones(M)])
+        nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(
+            np.float32)
+        T0 = np.asarray(se3_exp(jnp.asarray(
+            [0.02, -0.01, 0.01, 0.008, 0.0, 0.01], jnp.float32)))
+        sel = rng.choice(M, N, replace=False)
+        scan = ((map_xyz[sel] - T0[:3, 3]) @ T0[:3, :3]).astype(np.float32)
+
+        mesh = make_mesh((8,), axis_names=("mp",))
+        step, shardings = make_sharded_map_icp_step(mesh, scan_chunk=256)
+        args = [
+            jnp.asarray(scan), jnp.ones((N,), bool),
+            jnp.asarray(map_xyz), jnp.ones((M,), bool), jnp.asarray(nrm),
+            jnp.eye(4),
+        ]
+        args = [jax.device_put(a, s) for a, s in zip(args, shardings)]
+        T_sh, cnt = step(*args)
+        assert int(cnt) == N  # every scan point found a correspondence
+
+        # exact reference: brute NN in chunked f64 numpy + GN solve
+        s64, m64 = scan.astype(np.float64), map_xyz.astype(np.float64)
+        idx = np.empty(N, np.int64)
+        for a in range(0, N, 256):
+            d2 = ((s64[a:a+256, None, :] - m64[None, :, :]) ** 2).sum(-1) \
+                if False else (
+                    (s64[a:a+256] ** 2).sum(1)[:, None]
+                    + (m64 ** 2).sum(1)[None, :]
+                    - 2.0 * s64[a:a+256] @ m64.T
+                )
+            idx[a:a+256] = d2.argmin(1)
+        p = s64
+        q, nn = m64[idx], nrm.astype(np.float64)[idx]
+        r = np.sum(nn * (p - q), axis=1)
+        absr = np.abs(r)
+        w = np.where(absr <= 0.05, 1.0, 0.05 / np.maximum(absr, 1e-12))
+        J = np.concatenate([nn, np.cross(p, nn)], axis=1)
+        Jw = J * w[:, None]
+        H = J.T @ Jw
+        g = Jw.T @ r
+        xi = -np.linalg.solve(H + 1e-6 * np.eye(6), g)
+        T_ref = np.asarray(se3_exp(jnp.asarray(xi, jnp.float32)))
+        np.testing.assert_allclose(np.asarray(T_sh), T_ref, atol=2e-4)
