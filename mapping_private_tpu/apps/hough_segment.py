@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     ap.add_argument("--dump-viz", default=None, metavar="DIR",
                     help="write colored PLY + JSON markers per input "
                          "(the RViz-marker analog, io/viz.py)")
+    ap.add_argument("--marked", default=None, metavar="PCD",
+                    help="write the hough_classification-style marked "
+                         "cloud (per-point class intensity)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
@@ -74,6 +77,19 @@ def main(argv=None) -> int:
                                  f"object-{s.size_class}_{n:02d}.pcd"),
                     {"xyz": xyz[s.inliers]},
                 )
+        if args.marked:
+            from mapping_private_tpu.models.hough_segmentation import (
+                hough_mark_classes,
+            )
+
+            marks = hough_mark_classes(cloud, segs)
+            live = np.asarray(cloud.mask)
+            save_pcd(args.marked, {
+                "xyz": np.asarray(cloud.padded_xyz())[live],
+                "intensity": marks[live].astype(np.float32),
+            })
+            if not args.json:
+                print(f"marked cloud: {args.marked}")
         if args.dump_viz:
             from mapping_private_tpu.io.viz import dump_viz, hough_segments_viz
 

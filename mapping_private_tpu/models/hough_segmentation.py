@@ -711,3 +711,23 @@ def hough_segment(
     if cfg.deal_with_the_rest_of_the_points and live_np.any():
         segments.extend(_pca_box_objects(xyz, live_np, cfg))
     return segments
+
+def hough_mark_classes(cloud: PointCloud, segments: List[HoughSegment]) -> np.ndarray:
+    """Per-point class marks — `hough_classification`'s marked output cloud
+    (hough_segmentation/src/hough_classification.cpp:4294-4599: the marked
+    working cloud's intensity is set to 3 for flat boxes, 2 for upright
+    boxes, 4 for cylinders; unclaimed points stay 0).
+
+    Returns (N,) int32 aligned with the cloud's rows; save with
+    save_pcd({"xyz": ..., "intensity": marks}) for the reference's marked
+    PCD artifact."""
+    marks = np.zeros((cloud.capacity,), np.int32)
+    for s in segments:
+        if s.kind == "cylinder":
+            v = 4
+        elif s.size_class == "flat":
+            v = 3
+        else:
+            v = 2
+        marks[s.inliers] = v
+    return marks

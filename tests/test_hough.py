@@ -210,3 +210,24 @@ class TestHoughRealData:
         s = can_cyls[0]
         assert int(s.inliers[n_can:].sum()) == 0  # no carton points
         assert 0.02 < s.cylinder[1] < 0.05
+
+
+def test_hough_mark_classes():
+    """hough_classification's marked-cloud output: flat→3, box→2,
+    cylinder→4, unclaimed→0 (hough_classification.cpp:4294-4599)."""
+    from mapping_private_tpu.models.hough_segmentation import (
+        hough_mark_classes,
+    )
+
+    pts, _, _ = _tabletop_scene(2)
+    cloud = PointCloud.from_numpy(pts)
+    segs = hough_segment(cloud, jax.random.PRNGKey(6),
+                         HoughConfig(max_objects=4, min_inliers=80))
+    marks = hough_mark_classes(cloud, segs)
+    assert marks.shape == (cloud.capacity,)
+    got = set(np.unique(marks).tolist())
+    assert 4 in got          # the cylinder
+    assert got & {2, 3}      # at least one box class
+    for s in segs:
+        if s.kind == "cylinder":
+            assert (marks[s.inliers] == 4).all()
