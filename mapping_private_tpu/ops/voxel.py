@@ -93,3 +93,68 @@ def voxel_downsample(
         out_channels[name] = m[:, 0] if ncols == 1 else m
     out_channels["vox_count"] = cnt.astype(jnp.float32)
     return PointCloud(xyz=out_xyz, mask=out_mask, channels=out_channels)
+
+
+def voxel_downsample_dense(
+    cloud: PointCloud,
+    voxel_size: float,
+    origin,
+    dims: Tuple[int, int, int],
+    out_capacity: int,
+) -> PointCloud:
+    """Sort-free voxel downsample for BOUNDED scenes.
+
+    The sort-based path above is bitonic-sort-bound (28 ms at 1M points);
+    when the scene bounds are known statically this variant scatter-adds
+    sums/counts into a dense (dx·dy·dz) cell array and compacts occupied
+    cells with a cumsum — O(N) scatters + O(D) compaction, no sort.
+    Output rows are ordered by linear cell index; cells beyond
+    ``out_capacity`` spill (same contract as voxel_downsample).
+    """
+    dx, dy, dz = dims
+    D = dx * dy * dz
+    o = jnp.asarray(origin, jnp.float32)
+    rel = (cloud.xyz - o) / jnp.asarray(voxel_size, jnp.float32)
+    idx = jnp.floor(rel).astype(jnp.int32)
+    in_range = (
+        cloud.mask
+        & jnp.all(idx >= 0, axis=-1)
+        & (idx[:, 0] < dx) & (idx[:, 1] < dy) & (idx[:, 2] < dz)
+    )
+    lin = idx[:, 0] * (dy * dz) + idx[:, 1] * dz + idx[:, 2]
+    lin = jnp.where(in_range, lin, D)
+
+    chan_names = list(cloud.channels)
+    cols = [cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2]]
+    chan_cols = []
+    for name in chan_names:
+        v = cloud.channels[name]
+        if v.ndim == 1:
+            cols.append(v)
+            chan_cols.append((name, 1))
+        else:
+            cols.extend(v[:, c] for c in range(v.shape[1]))
+            chan_cols.append((name, v.shape[1]))
+    vals = jnp.stack(cols, axis=-1)  # (N, 3+C)
+    sums = jnp.zeros((D + 1, vals.shape[1]), jnp.float32).at[lin].add(
+        jnp.where(in_range[:, None], vals, 0.0))
+    cnt = jnp.zeros((D + 1,), jnp.int32).at[lin].add(
+        in_range.astype(jnp.int32))
+    occ = cnt[:D] > 0
+    slot = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    slot = jnp.where(occ & (slot < out_capacity), slot, out_capacity)
+    out_sums = jnp.zeros((out_capacity + 1, vals.shape[1]), jnp.float32
+                         ).at[slot].set(sums[:D])[:out_capacity]
+    out_cnt = jnp.zeros((out_capacity + 1,), jnp.int32
+                        ).at[slot].set(cnt[:D])[:out_capacity]
+    mask = out_cnt > 0
+    denom = jnp.maximum(out_cnt, 1).astype(jnp.float32)[:, None]
+    mean = out_sums / denom
+    xyz = jnp.where(mask[:, None], mean[:, :3], PAD_COORD)
+    channels = {}
+    c0 = 3
+    for name, c in chan_cols:
+        block = mean[:, c0:c0 + c]
+        channels[name] = block[:, 0] if c == 1 else block
+        c0 += c
+    return PointCloud(xyz=xyz, mask=mask, channels=channels)

@@ -235,3 +235,28 @@ class TestTiledNN:
         )
         err = np.abs(np.asarray(res.transform) - T_gt).max()
         assert err < 5e-3, err
+
+
+def test_voxel_downsample_dense_matches_sorted():
+    """Sort-free dense-scatter downsample ≡ the sort-based path (same
+    cells, same means, channels carried) on a bounded scene."""
+    from mapping_private_tpu.ops.voxel import (
+        voxel_downsample, voxel_downsample_dense,
+    )
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 1.0, (5000, 3)).astype(np.float32)
+    c = PointCloud.from_numpy(pts).with_channel(
+        "r", jnp.arange(c_cap := 5120, dtype=jnp.float32) % 7
+    )
+    a = voxel_downsample(c, 0.05, 4096)
+    b = voxel_downsample_dense(c, 0.05, np.zeros(3, np.float32),
+                               (20, 20, 20), 4096)
+    assert int(a.mask.sum()) == int(b.mask.sum())
+    ax = np.asarray(a.padded_xyz())[np.asarray(a.mask)]
+    bx = np.asarray(b.padded_xyz())[np.asarray(b.mask)]
+    ar = np.asarray(a.channels["r"])[np.asarray(a.mask)]
+    br = np.asarray(b.channels["r"])[np.asarray(b.mask)]
+    ka, kb = np.lexsort(ax.T), np.lexsort(bx.T)
+    np.testing.assert_allclose(ax[ka], bx[kb], atol=1e-5)
+    np.testing.assert_allclose(ar[ka], br[kb], atol=1e-5)
