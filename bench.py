@@ -147,16 +147,33 @@ def main():
     err = _np.linalg.norm(_np.asarray(res.transform) - T_true)
     assert err < 0.05, f"ICP diverged, |T-T_true|={err}"
 
-    print(
-        json.dumps(
-            {
-                "metric": "icp_registration",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / ref_fps, 2),
-            }
-        )
-    )
+    result = {
+        "metric": "icp_registration",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / ref_fps, 2),
+    }
+    # perf drift tracking: every run appends to BENCH_HISTORY.jsonl with a
+    # timestamp + git head, so regressions are visible across rounds
+    try:
+        import subprocess
+        import time as _time
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_HISTORY.jsonl"), "a"
+        ) as hf:
+            hf.write(json.dumps(
+                {"ts": round(_time.time(), 1), "head": head, **result}
+            ) + "\n")
+    except Exception:
+        pass  # history is best-effort; the driver only needs stdout
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
