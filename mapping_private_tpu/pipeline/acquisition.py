@@ -106,3 +106,68 @@ class ScanSession:
             pan += cfg.pan_step
             idx += 1
         return self.views
+
+
+def hokuyo_line_ids(beam_index: "np.ndarray") -> "np.ndarray":
+    """Scan-line ids from per-point beam indices — `get_line_id_hokuyo`
+    (cloud_tools/src/get_line_id_hokuyo.cpp:130-149): the Hokuyo driver
+    only provides the beam index within one sweep; a new line starts
+    whenever the index wraps (next index < current)."""
+    import numpy as np
+
+    idx = np.asarray(beam_index)
+    if len(idx) == 0:
+        return np.zeros((0,), np.int32)
+    wraps = np.concatenate([[False], idx[1:] < idx[:-1]])
+    return np.cumsum(wraps).astype(np.int32)
+
+
+def add_hokuyo_line_channel(pcd_path: str, index_channel: str = "index",
+                            out_path: "str | None" = None) -> str:
+    """Add a 'line' channel to a PCD (the reference rewrites files in
+    place, get_line_id_hokuyo.cpp:156-177).  Skips files that already
+    carry one."""
+    import numpy as np
+
+    from mapping_private_tpu.io.pcd import load_pcd_arrays, save_pcd
+
+    arrays = dict(load_pcd_arrays(pcd_path))
+    if "line" in arrays:
+        return pcd_path
+    if index_channel not in arrays:
+        raise KeyError(f"{pcd_path} has no '{index_channel}' channel")
+    arrays["line"] = hokuyo_line_ids(arrays[index_channel]).astype(np.float32)
+    xyz = np.stack([arrays.pop("x"), arrays.pop("y"), arrays.pop("z")], 1)
+    save_pcd(out_path or pcd_path, {"xyz": xyz, **arrays})
+    return out_path or pcd_path
+
+
+class TriggeredCapture:
+    """`msg_to_pcd_joy` analog (cloud_tools/src/msg_to_pcd_joy.cpp): hold
+    the latest cloud; `trigger()` (the reference's Wii button B callback)
+    dumps it to a numbered PCD."""
+
+    def __init__(self, out_dir: str, prefix: str = "capture"):
+        import os
+
+        self.out_dir = out_dir
+        self.prefix = prefix
+        self.counter = 0
+        self._latest = None
+        os.makedirs(out_dir, exist_ok=True)
+
+    def push(self, arrays: Dict[str, Any]) -> None:
+        self._latest = arrays
+
+    def trigger(self) -> "str | None":
+        import os
+
+        from mapping_private_tpu.io.pcd import save_pcd
+
+        if self._latest is None:
+            return None
+        path = os.path.join(self.out_dir,
+                            f"{self.prefix}_{self.counter:04d}.pcd")
+        save_pcd(path, self._latest)
+        self.counter += 1
+        return path

@@ -116,3 +116,27 @@ class TestShopping:
         assert rack == 0
         # best gap on rack 0 is between the two objects (~0.26..0.64)
         assert 0.25 < pos[0] < 0.7
+
+
+class TestAcquisitionUtilities:
+    def test_hokuyo_line_ids(self):
+        from mapping_private_tpu.pipeline.acquisition import hokuyo_line_ids
+        import numpy as np
+
+        idx = np.array([0, 1, 2, 0, 1, 2, 3, 1, 2], np.float32)
+        np.testing.assert_array_equal(
+            hokuyo_line_ids(idx), [0, 0, 0, 1, 1, 1, 1, 2, 2])
+        assert hokuyo_line_ids(np.zeros(0)).shape == (0,)
+
+    def test_triggered_capture(self, tmp_path):
+        from mapping_private_tpu.pipeline.acquisition import TriggeredCapture
+        from mapping_private_tpu.io.pcd import load_pcd_arrays
+        import numpy as np
+
+        cap = TriggeredCapture(str(tmp_path))
+        assert cap.trigger() is None  # nothing captured yet
+        cap.push({"xyz": np.ones((5, 3), np.float32)})
+        p = cap.trigger()
+        assert p and load_pcd_arrays(p)["x"].shape == (5,)
+        cap.push({"xyz": np.zeros((3, 3), np.float32)})
+        assert cap.trigger().endswith("0001.pcd")
