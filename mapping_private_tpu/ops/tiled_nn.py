@@ -29,9 +29,14 @@ _INF = jnp.float32(jnp.inf)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TileSet:
-    """Points bucketed into a (Dx·Dy·Dz, cap) tile lattice."""
+    """Points bucketed into a (Dx·Dy·Dz, cap) tile lattice.
 
-    xyz: jax.Array        # (T, cap, 3) padded member coordinates
+    Coordinates are stored as PLANES (T, 3, cap) — the cap axis is the
+    minor (lane) axis, so per-tile block gathers stay unpadded; a
+    (T, cap, 3) layout tile-pads the 3-wide minor axis to 128 lanes on
+    TPU and multiplies HBM traffic ~42×."""
+
+    xyz: jax.Array        # (T, 3, cap) padded member coordinate planes
     valid: jax.Array      # (T, cap) bool
     idx: jax.Array        # (T, cap) int32 original rows (-1 pad)
     tile_of: jax.Array    # (N,) int32 flat tile id per original row
@@ -88,7 +93,8 @@ def build_tiles(
         jnp.minimum(fs, T).astype(jnp.int32))
     rank_of = jnp.zeros((n,), jnp.int32).at[order].set(rank)
     return TileSet(
-        xyz=tiles_xyz[:T], valid=tiles_valid[:T], idx=tiles_idx[:T],
+        xyz=jnp.swapaxes(tiles_xyz[:T], 1, 2),  # (T, 3, cap) planes
+        valid=tiles_valid[:T], idx=tiles_idx[:T],
         tile_of=tile_of, rank_of=rank_of,
         origin=o, tile_size=t, dims=dims, cap=cap,
     )
@@ -108,47 +114,48 @@ def tiled_nn_1nn(
     """
     dx, dy, dz = tgt.dims
     T = dx * dy * dz
-    P = tgt.cap
     Q = qry.cap
-    best_d2 = jnp.full((T, Q), _INF)
-    best_idx = jnp.full((T, Q), -1, jnp.int32)
 
     tid = jnp.arange(T, dtype=jnp.int32)
     tz = tid % dz
     ty = (tid // dz) % dy
     tx = tid // (dy * dz)
-    # center every tile's coordinates on its own cell center: the norm
-    # identity below then works on ~tile_size-scale numbers, keeping the
-    # f32 rounding of |a|²+|b|²−2ab at ~1e-8 instead of the ~1e-6 that
-    # scene-scale coordinates produce (which mis-ranks near-tie NNs)
-    centers = (jnp.stack([tx, ty, tz], -1).astype(jnp.float32) + 0.5
-               ) * tgt.tile_size + tgt.origin  # (T, 3)
-    qx = qry.xyz - centers[:, None, :]  # (T, Q, 3)
-    qn = jnp.sum(qx * qx, axis=-1)  # (T, Q)
-    for ox in (-1, 0, 1):
-        for oy in (-1, 0, 1):
-            for oz in (-1, 0, 1):
-                nx_, ny_, nz_ = tx + ox, ty + oy, tz + oz
-                ok = ((nx_ >= 0) & (nx_ < dx) & (ny_ >= 0) & (ny_ < dy)
-                      & (nz_ >= 0) & (nz_ < dz))
-                nid = jnp.where(ok, (nx_ * dy + ny_) * dz + nz_, 0)
-                cand = tgt.xyz[nid] - centers[:, None, :]  # (T,P,3) blocks
-                cvalid = tgt.valid[nid] & ok[:, None]
-                cidx = tgt.idx[nid]
-                # dense (T, Q, P) distance blocks via the norm identity —
-                # one batched matmul per offset, no (T, Q, P, 3) temp
-                cn = jnp.sum(cand * cand, axis=-1)  # (T, P)
-                dot = jnp.einsum("tqc,tpc->tqp", qx, cand)
-                d2 = jnp.maximum(
-                    qn[:, :, None] + cn[:, None, :] - 2.0 * dot, 0.0
-                )
-                d2 = jnp.where(cvalid[:, None, :], d2, _INF)
-                m = jnp.min(d2, axis=-1)
-                am = jnp.argmin(d2, axis=-1)
-                sel = jnp.take_along_axis(cidx, am, axis=-1)
-                upd = m < best_d2
-                best_idx = jnp.where(upd, sel, best_idx)
-                best_d2 = jnp.minimum(best_d2, m)
+    qp = qry.xyz  # (T, 3, Q) coordinate planes
+
+    offs = jnp.asarray(
+        [[ox, oy, oz] for ox in (-1, 0, 1) for oy in (-1, 0, 1)
+         for oz in (-1, 0, 1)], jnp.int32)
+
+    def body(carry, off):
+        best_d2, best_idx = carry
+        nx_, ny_, nz_ = tx + off[0], ty + off[1], tz + off[2]
+        ok = ((nx_ >= 0) & (nx_ < dx) & (ny_ >= 0) & (ny_ < dy)
+              & (nz_ >= 0) & (nz_ < dz))
+        nid = jnp.where(ok, (nx_ * dy + ny_) * dz + nz_, 0)
+        cp = tgt.xyz[nid]                      # (T, 3, P) plane blocks
+        cvalid = tgt.valid[nid] & ok[:, None]  # (T, P)
+        cidx = tgt.idx[nid]
+        # per-coordinate broadcast differences: exact f32 distances (no
+        # norm-identity rounding), and the (T, Q, P) expression fuses
+        # with the min/argmin reductions instead of materializing
+        d2 = (
+            (qp[:, 0, :, None] - cp[:, 0, None, :]) ** 2
+            + (qp[:, 1, :, None] - cp[:, 1, None, :]) ** 2
+            + (qp[:, 2, :, None] - cp[:, 2, None, :]) ** 2
+        )
+        d2 = jnp.where(cvalid[:, None, :], d2, _INF)
+        m = jnp.min(d2, axis=-1)
+        am = jnp.argmin(d2, axis=-1)
+        sel = jnp.take_along_axis(cidx, am, axis=-1)
+        upd = m < best_d2
+        return (jnp.minimum(best_d2, m),
+                jnp.where(upd, sel, best_idx)), None
+
+    (best_d2, best_idx), _ = jax.lax.scan(
+        body,
+        (jnp.full((T, Q), _INF), jnp.full((T, Q), -1, jnp.int32)),
+        offs,
+    )
 
     # scatter back to original query order; overflowed queries → −1
     n = query_xyz.shape[0]

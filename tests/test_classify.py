@@ -1,4 +1,5 @@
 """Tests for libsvm prediction parity, subspace classification, linear SVM."""
+import os
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -97,3 +98,47 @@ class TestLinearSVM:
         W = train_linear_svm(jnp.asarray(X), jnp.asarray(y), 3, C=1.0)
         pred, _ = predict_linear(W, jnp.asarray(X))
         assert (np.asarray(pred) == y).mean() > 0.97
+
+
+class TestReferenceLibsvmOracle:
+    """Cross-check against the REFERENCE'S OWN vendored libsvm fork,
+    compiled at test time (tests/svm_oracle_driver.cpp + libsvm_asako/
+    libSVM.cpp) — validating our batched predictor against the
+    reference's actual computation rather than our reading of it."""
+
+    LIBSVM_DIR = ("/root/reference/color_feature_classification/src/"
+                  "libsvm_and_linear/libsvm_asako")
+
+    def _build_oracle(self, tmp_path):
+        import shutil
+        import subprocess
+
+        if shutil.which("g++") is None:
+            pytest.skip("no g++")
+        exe = str(tmp_path / "svm_oracle")
+        src = os.path.join(os.path.dirname(__file__), "svm_oracle_driver.cpp")
+        r = subprocess.run(
+            ["g++", "-O2", "-w", f"-I{self.LIBSVM_DIR}", src,
+             os.path.join(self.LIBSVM_DIR, "libSVM.cpp"), "-o", exe],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"oracle build failed: {r.stderr[:200]}")
+        return exe
+
+    def test_batched_predict_matches_reference_binary(self, tmp_path):
+        import subprocess
+
+        exe = self._build_oracle(tmp_path)
+        m = load_libsvm_model(GRSD_MODEL)
+        rng = np.random.default_rng(1)
+        X = rng.uniform(-1.2, 1.2, (300, 20)).astype(np.float64)
+        lines = "\n".join(
+            " ".join(f"{v:.10g}" for v in row) for row in X)
+        out = subprocess.run([exe, GRSD_MODEL], input=lines,
+                             capture_output=True, text=True)
+        ref = np.array([float(v) for v in out.stdout.split()])
+        assert len(ref) == len(X)
+        assert len(np.unique(ref)) >= 4  # inputs straddle class boundaries
+        ours = np.asarray(svm_predict_batch(m, jnp.asarray(X, jnp.float32)))
+        assert float((ours == ref).mean()) == 1.0
