@@ -8,11 +8,14 @@ test_classify_from_file executables and the calcRate.sh accuracy scripts
 view by maximum subspace projection, report the rate table.
 
 Feature types mirror the reference's c/d/g/r switches
-(test/computeFeature.cpp:40-160):
+(test/computeFeature.cpp:40-160, dims per the 2.leave_one_out.sh banner):
   c → ColorCHLAC-981 (rotation-variant)
-  d → GRSD-20 ++ ColorCHLAC-117 (the VOSCH-style concat)
+  d → GRSD-20 ++ ColorCHLAC-981 (1001)
   g → GRSD-20
-  r → ColorCHLAC-117 (rotation-invariant)
+  r → GRSD-20 ++ ColorCHLAC-117 (137, rotation-invariant)
+
+The full reference-protocol evaluation (leave-one-out, SVM) lives in
+classify/evaluate.py; results: EVALUATION.md.
 """
 from __future__ import annotations
 
@@ -28,30 +31,11 @@ DEFAULT_DATA = "/root/reference/color_feature_classification/demos/data"
 
 
 def compute_feature(path: str, feature_type: str = "d") -> np.ndarray:
-    import jax.numpy as jnp
-    from mapping_private_tpu.io.pcd import load_pcd
-    from mapping_private_tpu.features import (
-        extract_colorchlac117,
-        extract_colorchlac981,
-        extract_grsd_cchlac,
-        voxelize_for_features,
-        voxel_types,
-        grsd20_from_types,
+    from mapping_private_tpu.classify.evaluate import (
+        compute_feature as _compute,
     )
 
-    # bucketed capacity: one jit compilation serves the whole corpus
-    cloud = load_pcd(path, capacity_bucket=2048)
-    if feature_type == "c":
-        return np.asarray(extract_colorchlac981(cloud))
-    if feature_type == "d":
-        return np.asarray(extract_grsd_cchlac(cloud))
-    if feature_type == "r":
-        return np.asarray(extract_colorchlac117(cloud))
-    if feature_type == "g":
-        grid = voxelize_for_features(cloud)
-        types = voxel_types(cloud, grid)
-        return np.asarray(grsd20_from_types(types, grid.occupancy()))
-    raise ValueError(f"unknown feature type {feature_type}")
+    return _compute(path, feature_type)
 
 
 def corpus_views(
