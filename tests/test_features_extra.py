@@ -261,3 +261,109 @@ class TestSubdivGRSDVosch:
         dets = search_object(scene, subspace_axis(pca, 2), (2, 2, 2),
                              rank_num=2, exist_threshold=4.0)
         assert dets and dets[0].score > 0.8
+
+
+class TestHLACReferenceSourceParity:
+    """Parse the reference's hand-unrolled HLAC accumulators
+    (hlac/include/hlac/HLAC.hpp) at runtime and check our bin tables
+    against them — validating against the reference's computation, not
+    our reading of it (same standard as the ColorCHLAC-981 rotation-table
+    tests)."""
+
+    HPP = "/root/reference/hlac/include/hlac/HLAC.hpp"
+
+    def _parse_fn(self, name):
+        import re
+
+        src = open(self.HPP, encoding="latin-1").read()
+        start = src.index(f"void HLAC::{name}(")
+        end = src.index("void HLAC::", start + 10)
+        body = src[start:end]
+        # slot offsets: a[k] = img.at<...>( i Δi, j Δj )[c]?
+        slots = {}
+        for m in re.finditer(
+            r"a\[\s*(\d+)\s*\]\s*=\s*\(double\)img\.at<[^>]*>\(\s*"
+            r"i([^,]*),\s*j([^)]*?)\)(?:\s*\[\s*(\d+)\s*\])?\s*;", body
+        ):
+            k = int(m.group(1))
+            di = m.group(2).replace(" ", "")
+            dj = m.group(3).replace(" ", "")
+            off = {"": 0, "-rx": -1, "+rx": +1}[di], \
+                  {"": 0, "-ry": -1, "+ry": +1}[dj]
+            ch = int(m.group(4)) if m.group(4) else 0
+            slots[k] = (off, ch)
+        # bins: tmp[b] += a[i] (* a[j] (* a[k]))  — order-1 variants
+        # accumulate img.at<...>() terms directly instead of a[] slots
+        bins = {}
+        off_code = {"": 0, "-rx": -1, "+rx": +1}
+        for m in re.finditer(
+            r"tmp\[\s*(\d+)\s*\]\s*\+=\s*([^;]+);", body
+        ):
+            expr = m.group(2)
+            factors = [int(v) for v in re.findall(r"a\[\s*(\d+)\s*\]", expr)]
+            # the Gray order-1 variant uses a bare scalar `a` = center value
+            for _ in re.findall(r"\ba\b(?!\s*\[)", expr):
+                slots.setdefault(4, ((0, 0), 0))
+                factors.append(4)
+            for d in re.finditer(
+                r"img\.at<[^>]*>\(\s*i([^,]*),\s*j([^)]*?)\)"
+                r"(?:\s*\[\s*(\d+)\s*\])?", expr
+            ):
+                di = d.group(1).replace(" ", "")
+                dj = d.group(2).replace(" ", "")
+                ch = int(d.group(3)) if d.group(3) else 0
+                kx = {"": 1, "-rx": 0, "+rx": 2}[di]
+                ky = {"": 1, "-ry": 0, "+ry": 2}[dj]
+                k = 9 * ch + 3 * ky + kx
+                slots.setdefault(k, ((kx - 1, ky - 1), ch))
+                factors.append(k)
+            bins[int(m.group(1))] = tuple(factors)
+        return slots, bins
+
+    def _check(self, fn_name, table, center_gate):
+        from mapping_private_tpu.features.hlac2d import _pos_offset
+
+        slots, bins = self._parse_fn(fn_name)
+        assert len(bins) == len(table), (fn_name, len(bins), len(table))
+        for b, ref_factors in bins.items():
+            ours = table[b]
+            # our tables optionally imply the binary center gate: compare
+            # multisets of (offset, channel) products
+            def canon(ks, slot_map):
+                out = []
+                for k in ks:
+                    off, ch = slot_map[k]
+                    out.append((off, ch))
+                return sorted(out)
+
+            our_slots = {
+                k: (_pos_offset(k % 9, 1, 1), k // 9) for k in range(27)
+            }
+            got = canon(ref_factors, slots)
+            want = canon(ours, our_slots)
+            if center_gate:
+                # reference gates on the center being set; the product is
+                # over non-center factors only — our binary path does the
+                # same, tables store the raw product slots
+                pass
+            assert got == want, (fn_name, b, got, want)
+
+    def test_bin1_3(self):
+        from mapping_private_tpu.features.hlac2d import BIN1_3
+        self._check("_extractBin1_3", BIN1_3, center_gate=True)
+
+    def test_bin2_3(self):
+        from mapping_private_tpu.features.hlac2d import BIN2_3
+        self._check("_extractBin2_3", BIN2_3, center_gate=True)
+
+    def test_gray1_3(self):
+        from mapping_private_tpu.features.hlac2d import GRAY1_3
+        self._check("_extractGray1_3", GRAY1_3, center_gate=False)
+
+    def test_gray2_3(self):
+        from mapping_private_tpu.features.hlac2d import GRAY2_3
+        self._check("_extractGray2_3", GRAY2_3, center_gate=False)
+
+    def test_color1_3(self):
+        from mapping_private_tpu.features.hlac2d import COLOR1_3
+        self._check("_extractColor1_3", COLOR1_3, center_gate=False)
