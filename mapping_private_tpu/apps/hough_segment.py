@@ -28,6 +28,13 @@ def main(argv=None) -> int:
     ap.add_argument("--marked", default=None, metavar="PCD",
                     help="write the hough_classification-style marked "
                          "cloud (per-point class intensity)")
+    ap.add_argument("--by-voting", action="store_true",
+                    help="cluster-first per-object voting "
+                         "(segmentation_by_voting.cpp) instead of "
+                         "sequential extraction")
+    ap.add_argument("--sizes-out", default=None, metavar="TXT",
+                    help="with --by-voting: write the cylinder-sizes table "
+                         "(the reference's cylinder-sizes-hough-ransac.txt)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
@@ -52,7 +59,23 @@ def main(argv=None) -> int:
         if args.denoise:
             cloud, _ = remove_statistical_outliers(cloud, k=20, alpha=2.0)
         key, sub = jax.random.split(key)
-        segs = hough_segment(cloud, sub, cfg)
+        if args.by_voting:
+            from mapping_private_tpu.models.hough_segmentation import (
+                VotingConfig, segment_by_voting, cylinder_sizes_text,
+            )
+
+            vcfg = VotingConfig(
+                line_threshold=args.line_threshold,
+                circle_threshold=args.circle_threshold,
+            )
+            segs, sizes = segment_by_voting(cloud, sub, vcfg)
+            if args.sizes_out:
+                with open(args.sizes_out, "w") as f:
+                    f.write(cylinder_sizes_text(sizes))
+                if not args.json:
+                    print(f"sizes table: {args.sizes_out}")
+        else:
+            segs = hough_segment(cloud, sub, cfg)
         out = []
         xyz = np.asarray(cloud.xyz)
         for s in segs:

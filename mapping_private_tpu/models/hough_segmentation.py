@@ -143,6 +143,11 @@ class HoughConfig:
     deal_with_the_rest_of_the_points: bool = True
     r_clustering_tolerance: float = 0.025
     minimum_size_of_r_clusters: int = 50
+    # parameter-space model-clustering tolerance: hypotheses within this
+    # distance of the winning model count as its votes
+    # (segmentation_by_voting.cpp:123 clustering_tolerance_of_circle_
+    # parameters = 0.025; sequential_hough.cpp:142-143)
+    param_cluster_tolerance: float = 0.025
 
 
 @dataclasses.dataclass
@@ -233,6 +238,16 @@ def _hough_round(xy, mask, key, cfg: HoughConfig):
     line_d = jnp.abs(xy @ line_n - line_rho)
     line_inl = (line_d < cfg.line_threshold) & mask
     line_count = jnp.sum(line_inl.astype(jnp.int32))
+    # vote share: fraction of valid hypotheses whose model lies within the
+    # parameter-clustering tolerance of the winner (the reference's
+    # voting_threshold percentage, segmentation_by_voting.cpp:94)
+    lvalid = lc > 0
+    lnear = lvalid & (jnp.abs(rho - line_rho) < cfg.param_cluster_tolerance) & (
+        jnp.abs(nrm @ line_n) > jnp.cos(jnp.deg2rad(10.0))
+    )
+    line_hyp_frac = jnp.sum(lnear.astype(jnp.float32)) / jnp.maximum(
+        jnp.sum(lvalid.astype(jnp.float32)), 1.0
+    )
 
     # --- circles: vote in (cx, cy, r) parameter space -----------------------
     center, radius, cc = _circle_hypotheses(
@@ -253,12 +268,19 @@ def _hough_round(xy, mask, key, cfg: HoughConfig):
     circ_d = jnp.abs(jnp.linalg.norm(xy - circ_c, axis=-1) - circ_r)
     circ_inl = (circ_d < cfg.circle_threshold) & mask
     circ_count = jnp.sum(circ_inl.astype(jnp.int32))
+    cvalid = cc > 0
+    cnear = cvalid & (
+        jnp.linalg.norm(center - circ_c, axis=-1) < cfg.param_cluster_tolerance
+    ) & (jnp.abs(radius - circ_r) < cfg.param_cluster_tolerance)
+    circ_hyp_frac = jnp.sum(cnear.astype(jnp.float32)) / jnp.maximum(
+        jnp.sum(cvalid.astype(jnp.float32)), 1.0
+    )
 
     return dict(
         line_votes=lvotes, line_count=line_count, line_inl=line_inl,
-        line_n=line_n, line_rho=line_rho,
+        line_n=line_n, line_rho=line_rho, line_hyp_frac=line_hyp_frac,
         circ_votes=cvotes, circ_count=circ_count, circ_inl=circ_inl,
-        circ_c=circ_c, circ_r=circ_r,
+        circ_c=circ_c, circ_r=circ_r, circ_hyp_frac=circ_hyp_frac,
     )
 
 
@@ -731,3 +753,253 @@ def hough_mark_classes(cloud: PointCloud, segments: List[HoughSegment]) -> np.nd
             v = 2
         marks[s.inliers] = v
     return marks
+
+
+# ---------------------------------------------------------------------------
+# segmentation-by-voting: cluster-first per-object model voting
+# (hough_segmentation/src/segmentation_by_voting.cpp — structurally distinct
+# from sequential_hough: the scene is euclidean-clustered into object
+# candidates FIRST (:876-940), then each cluster gets its own Hough
+# line/circle vote (:971-2523) and is classified whole as a cylinder or a
+# box; cylinder dimensions are logged to a sizes table
+# ("cylinder-sizes-hough-ransac.txt", :423-445).  The
+# using_{lines,circles}_for_segmentation_by_voting.cpp siblings are this
+# flow restricted to one model family — covered by the allow_* switches.)
+
+
+@dataclasses.dataclass(frozen=True)
+class VotingConfig:
+    """Defaults cite segmentation_by_voting.cpp:77-123."""
+
+    # statistical outlier filter (:79-80)
+    mean_k_filter: int = 25
+    std_dev_filter: float = 1.0
+    # MLS smoothing preamble for real Kinect scans — without it sensor
+    # noise corrupts the RSD r_min estimates the rsd_feature gate reads
+    # (the sequential recipes run smoothing_search_radius 0.020,
+    # readme/sequential_hough:1-5; same practice applies here)
+    mls_smoothing: bool = False
+    smoothing_search_radius: float = 0.020
+    # scene → object clusters (:85-86)
+    clustering_tolerance_of_objects: float = 0.025
+    minimum_size_of_objects_clusters: int = 100
+    # per-cluster model voting (:92-104)
+    line_threshold: float = 0.010
+    circle_threshold: float = 0.010
+    voting_threshold: float = 0.25  # winning-model hypothesis share (:94)
+    minimum_radius: float = 0.010
+    maximum_radius: float = 0.100
+    minimum_line_inliers: int = 10
+    minimum_circle_inliers: int = 50
+    num_hypotheses: int = 512
+    param_cluster_tolerance: float = 0.025  # :123
+    # feature gates (:106-122).  Executed semantics (:1246-1560): each
+    # gate first rejects when the surviving inlier count is already below
+    # minimum_circle_inliers, then PRUNES the inlier set — curvature keeps
+    # curvature > curvature_threshold (:1266), rsd keeps
+    # |circle_radius − r_min| < radius_threshold (:1356 — the absolute
+    # low/high_r_min band there is commented out), and percentage finally
+    # compares survivors against the originally-fitted count (:1517).
+    curvature_threshold: float = 0.010
+    normal_search_k: int = 16
+    rsd_search_radius: float = 0.020
+    rsd_plane_radius: float = 0.200
+    radius_threshold: float = 0.025  # :114
+    curvature_feature: bool = True
+    rsd_feature: bool = True
+    percentage_feature: bool = True
+    circle_percentage: float = 50.0  # :122 — % surviving the gates
+    # model-family restriction (using_lines/-circles variants)
+    allow_lines: bool = True
+    allow_circles: bool = True
+    # size classes (shared thresholds with HoughConfig)
+    flat_value: float = 0.25
+    tall_value: float = 0.75
+    medium_value: float = 0.50
+    short_value: float = 0.25
+
+
+def _voting_hough_cfg(cfg: VotingConfig) -> HoughConfig:
+    """Static HoughConfig for the shared jitted round (equal values → one
+    compile across clusters and calls)."""
+    return HoughConfig(
+        num_hypotheses=cfg.num_hypotheses,
+        line_threshold=cfg.line_threshold,
+        circle_threshold=cfg.circle_threshold,
+        min_radius=cfg.minimum_radius,
+        max_radius=cfg.maximum_radius,
+        param_cluster_tolerance=cfg.param_cluster_tolerance,
+    )
+
+
+def segment_by_voting(
+    cloud: PointCloud,
+    key: jax.Array,
+    cfg: VotingConfig = VotingConfig(),
+) -> Tuple[List[HoughSegment], List[dict]]:
+    """Cluster the scene into objects, then vote a circle/line model per
+    cluster and classify it whole (cylinder vs box).
+
+    Returns (segments, sizes): one segment per surviving cluster, plus the
+    sizes-table rows (the reference's cylinder-sizes text file — one dict
+    per model with kind/radius/height/center or extents).
+    """
+    from mapping_private_tpu.ops.filters import statistical_outlier_mask
+
+    if cfg.mls_smoothing:
+        from mapping_private_tpu.ops.mls import mls
+
+        cloud = mls(cloud, search_radius=cfg.smoothing_search_radius)
+
+    xyz_j = cloud.padded_xyz()
+    keep = statistical_outlier_mask(
+        xyz_j, cloud.mask, k=cfg.mean_k_filter, alpha=cfg.std_dev_filter
+    )
+    xyz = np.asarray(xyz_j)
+    xy = jnp.asarray(xyz[:, :2])
+
+    hcfg = _voting_hough_cfg(cfg)
+    gates = cfg.curvature_feature or cfg.rsd_feature
+    if gates:
+        pf_cfg = HoughConfig(
+            normal_search_k=cfg.normal_search_k,
+            curvature_threshold=cfg.curvature_threshold,
+            rsd_search_radius=cfg.rsd_search_radius,
+            rsd_plane_radius=cfg.rsd_plane_radius,
+        )
+        _nxy, curvature, r_min, _sp = _point_features(cloud, pf_cfg)
+        curvature_np = np.asarray(curvature)
+        r_min_np = np.asarray(r_min)
+    else:
+        curvature_np = r_min_np = None
+
+    labels = np.asarray(
+        euclidean_cluster(xyz_j, keep, cfg.clustering_tolerance_of_objects)
+    )
+    n = cloud.capacity
+    segments: List[HoughSegment] = []
+    sizes: List[dict] = []
+    for lbl, cnt in zip(*np.unique(labels[labels < n], return_counts=True)):
+        if cnt < cfg.minimum_size_of_objects_clusters:
+            continue
+        member = labels == lbl
+        member_j = jnp.asarray(member)
+        key, sub = jax.random.split(key)
+        r = _hough_round(xy, member_j, sub, hcfg)
+        zc = xyz[member][:, 2]
+        height = float(zc.max() - zc.min())
+
+        # ---- circle decision (whole cluster becomes a cylinder) ----
+        accept_circle = False
+        circ_r = float(r["circ_r"])
+        if cfg.allow_circles:
+            fitted = np.asarray(r["circ_inl"])
+            n_fitted = int(fitted.sum())
+            sel = fitted
+            accept_circle = (
+                n_fitted >= cfg.minimum_circle_inliers
+                and cfg.minimum_radius <= circ_r <= cfg.maximum_radius
+                and float(r["circ_hyp_frac"]) >= cfg.voting_threshold
+            )
+            # sequential pruning gates (reference executed path, :1246-1560)
+            if accept_circle and cfg.curvature_feature:
+                sel = sel & (curvature_np > cfg.curvature_threshold)
+            if accept_circle and cfg.rsd_feature:
+                if int(sel.sum()) < cfg.minimum_circle_inliers:
+                    accept_circle = False
+                else:
+                    sel = sel & (
+                        np.abs(circ_r - r_min_np) < cfg.radius_threshold
+                    )
+            if accept_circle:
+                n_kept = int(sel.sum())
+                if n_kept < cfg.minimum_circle_inliers:
+                    accept_circle = False
+                elif cfg.percentage_feature:
+                    accept_circle = (
+                        100.0 * n_kept / n_fitted >= cfg.circle_percentage
+                    )
+
+        if accept_circle:
+            center = np.asarray(r["circ_c"])
+            ext = np.array([2 * circ_r, 2 * circ_r, height])
+            seg = HoughSegment(
+                kind="cylinder",
+                size_class=_classify_size(ext, cfg),
+                inliers=member,
+                num_inliers=int(cnt),
+                cylinder=(center, circ_r, float(zc.min()), float(zc.max())),
+                votes=int(r["circ_votes"]),
+            )
+            sizes.append({
+                "kind": "cylinder", "radius": circ_r, "height": height,
+                "center": [float(center[0]), float(center[1])],
+            })
+            segments.append(seg)
+            continue
+
+        # ---- line decision (cluster becomes an upright box) ----
+        accept_line = False
+        if cfg.allow_lines:
+            fitted_l = np.asarray(r["line_inl"])
+            n_fitted_l = int(fitted_l.sum())
+            sel_l = fitted_l
+            accept_line = (
+                n_fitted_l >= cfg.minimum_line_inliers
+                and float(r["line_hyp_frac"]) >= cfg.voting_threshold
+            )
+            # line inliers should sit on planar (low-curvature) surfaces
+            if accept_line and cfg.curvature_feature:
+                sel_l = sel_l & (curvature_np < cfg.curvature_threshold)
+            if accept_line:
+                n_kept_l = int(sel_l.sum())
+                if n_kept_l < cfg.minimum_line_inliers:
+                    accept_line = False
+                elif cfg.percentage_feature:
+                    accept_line = (
+                        100.0 * n_kept_l / n_fitted_l >= cfg.circle_percentage
+                    )
+        if accept_line:
+            box = fit_box_zup(xyz_j, member_j)
+            ext = np.asarray(box.extents)
+            seg = HoughSegment(
+                kind="cuboid", size_class=_classify_size(ext, cfg),
+                inliers=member, num_inliers=int(cnt), box=box,
+                votes=int(r["line_votes"]),
+            )
+        else:
+            # neither model voted in — still an object cluster (the
+            # reference visualizes it unmodeled); PCA box envelope
+            box = fit_box_pca(xyz_j, member_j)
+            ext = np.asarray(box.extents)
+            seg = HoughSegment(
+                kind="box", size_class=_classify_size(
+                    np.array([*np.sort(ext[:2])[::-1], height]), cfg),
+                inliers=member, num_inliers=int(cnt), box=box,
+            )
+        sizes.append({
+            "kind": seg.kind,
+            "extents": [float(v) for v in np.asarray(seg.box.extents)],
+            "height": height,
+        })
+        segments.append(seg)
+
+    segments.sort(key=lambda s: -s.num_inliers)
+    return segments, sizes
+
+
+def cylinder_sizes_text(sizes: List[dict]) -> str:
+    """Render the sizes table as the reference's cylinder-sizes text file
+    (segmentation_by_voting.cpp:423-445 logs one line per accepted model)."""
+    lines = []
+    for row in sizes:
+        if row["kind"] == "cylinder":
+            cx, cy = row["center"]
+            lines.append(
+                f"cylinder radius {row['radius']:.4f} height {row['height']:.4f}"
+                f" center {cx:.4f} {cy:.4f}"
+            )
+        else:
+            e = " ".join(f"{v:.4f}" for v in row["extents"])
+            lines.append(f"{row['kind']} extents {e} height {row['height']:.4f}")
+    return "\n".join(lines) + ("\n" if lines else "")

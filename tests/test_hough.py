@@ -231,3 +231,80 @@ def test_hough_mark_classes():
     for s in segs:
         if s.kind == "cylinder":
             assert (marks[s.inliers] == 4).all()
+
+
+class TestSegmentByVoting:
+    """Cluster-first per-object voting (segmentation_by_voting.cpp)."""
+
+    def test_cylinder_and_boxes(self):
+        from mapping_private_tpu.models.hough_segmentation import (
+            VotingConfig, cylinder_sizes_text, segment_by_voting,
+        )
+
+        pts, n_wall, n_cyl = _tabletop_scene()
+        cloud = PointCloud.from_numpy(pts)
+        segs, sizes = segment_by_voting(cloud, jax.random.PRNGKey(0))
+        assert len(segs) >= 2
+
+        cyls = [s for s in segs if s.kind == "cylinder"]
+        assert len(cyls) == 1
+        s = cyls[0]
+        center, r, zmin, zmax = s.cylinder
+        np.testing.assert_allclose(center, [0.8, 0.5], atol=0.01)
+        assert abs(r - 0.04) < 0.01
+        # the whole object cluster is claimed, and it is pure cylinder points
+        assert s.inliers[:n_wall].sum() == 0
+        assert s.num_inliers > 300
+
+        # box clusters never classify as cylinders
+        for other in segs:
+            if other is not s:
+                assert other.kind in ("cuboid", "box")
+                assert other.inliers[n_wall:].sum() == 0
+
+        # sizes table carries the cylinder row (the reference's
+        # cylinder-sizes-hough-ransac.txt)
+        cyl_rows = [row for row in sizes if row["kind"] == "cylinder"]
+        assert len(cyl_rows) == 1
+        assert abs(cyl_rows[0]["radius"] - 0.04) < 0.01
+        txt = cylinder_sizes_text(sizes)
+        assert "cylinder radius" in txt
+
+    def test_circles_only_variant(self):
+        """using_circles_for_segmentation_by_voting: lines disabled —
+        box clusters must come out as unmodeled 'box' objects."""
+        from mapping_private_tpu.models.hough_segmentation import (
+            VotingConfig, segment_by_voting,
+        )
+
+        pts, n_wall, _ = _tabletop_scene(1)
+        cloud = PointCloud.from_numpy(pts)
+        cfg = VotingConfig(allow_lines=False)
+        segs, _ = segment_by_voting(cloud, jax.random.PRNGKey(1), cfg)
+        kinds = {s.kind for s in segs}
+        assert "cylinder" in kinds
+        assert "cuboid" not in kinds
+
+    def test_real_can_by_voting(self):
+        """Real Kinect soup can through segment_by_voting at reference
+        defaults (all five gates on): the object cluster must classify as
+        one cylinder (segmentation_by_voting.cpp's executed gate chain —
+        curvature/rsd prune inliers, percentage compares survivors)."""
+        from mapping_private_tpu.models.hough_segmentation import (
+            VotingConfig, segment_by_voting,
+        )
+
+        DATA = "/root/reference/color_feature_classification/demos/data"
+        from mapping_private_tpu.io import load_pcd_arrays
+
+        a = load_pcd_arrays(f"{DATA}/obj008/tomato-soup_0000.pcd")
+        xyz = np.stack([a["x"], a["z"], -a["y"]], 1).astype(np.float32)
+        xyz -= xyz.min(0)
+        cloud = PointCloud.from_numpy(xyz)
+        cfg = VotingConfig(minimum_size_of_objects_clusters=200)
+        segs, sizes = segment_by_voting(cloud, jax.random.PRNGKey(0), cfg)
+        cyls = [s for s in segs if s.kind == "cylinder"]
+        assert len(cyls) == 1
+        assert cyls[0].num_inliers > 2000
+        assert 0.015 < cyls[0].cylinder[1] < 0.05
+        assert any(row["kind"] == "cylinder" for row in sizes)
