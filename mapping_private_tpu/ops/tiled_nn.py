@@ -26,6 +26,23 @@ import jax.numpy as jnp
 _INF = jnp.float32(jnp.inf)
 
 
+def _minloc(d2: jax.Array, payload: jax.Array):
+    """(min, payload-at-min) over the last axis in ONE variadic reduce."""
+
+    def red(a, b):
+        ad, ai = a
+        bd, bi = b
+        pick = bd < ad
+        return jnp.where(pick, bd, ad), jnp.where(pick, bi, ai)
+
+    return jax.lax.reduce(
+        (d2, payload),
+        (_INF, jnp.int32(-1)),
+        red,
+        (d2.ndim - 1,),
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TileSet:
@@ -169,6 +186,157 @@ def tiled_nn_1nn(
             jnp.where(live, d2, _INF))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CompactTiles:
+    """Occupied-tiles-only bucketing.
+
+    The dense ``TileSet`` kernel spends its time on empty lattice cells —
+    point clouds are surfaces, so occupancy is a few percent (measured:
+    43,740 lattice tiles vs ~3k occupied at 200k points / 0.1 m tiles,
+    and the dense program exceeds the compile-service payload limit at
+    1M points).  Here only occupied tiles get bucket rows; a dense
+    ``slot_of`` lookup (one int32 per lattice cell) resolves stencil
+    neighbors.  Work drops from D·27·cap² to S·27·cap² where S = occupied
+    tiles."""
+
+    xyz: jax.Array         # (S, 3, cap) occupied-tile coordinate planes
+    valid: jax.Array       # (S, cap)
+    idx: jax.Array         # (S, cap) int32 original rows (-1 pad)
+    tile_id: jax.Array     # (S,) int32 flat lattice id (D for dead slots)
+    slot_of: jax.Array     # (D+1,) int32 lattice id → slot (-1 empty)
+    slot_of_pt: jax.Array  # (N,) int32 slot per original row (-1 spilled)
+    rank_of: jax.Array     # (N,) int32 rank within the tile
+    origin: jax.Array      # (3,)
+    tile_size: jax.Array   # ()
+    dims: Tuple[int, int, int] = dataclasses.field(
+        metadata=dict(static=True))
+    cap: int = dataclasses.field(metadata=dict(static=True))
+    max_tiles: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_compact_tiles(
+    xyz: jax.Array,
+    mask: jax.Array,
+    origin,
+    tile_size: float,
+    dims: Tuple[int, int, int],
+    cap: int,
+    max_tiles: int,
+) -> CompactTiles:
+    """Bucket points into occupied-tile slots (sorted-run compaction).
+
+    Occupied tiles beyond ``max_tiles`` spill: their points get slot −1
+    and read back as no-correspondence, the same contract as cap
+    overflow.  Size ``max_tiles`` generously from concrete bounds
+    (see icp_point_to_plane_tiled)."""
+    n = xyz.shape[0]
+    dx, dy, dz = dims
+    D = dx * dy * dz
+    t = jnp.asarray(tile_size, jnp.float32)
+    o = jnp.asarray(origin, jnp.float32)
+    cell = jnp.clip(
+        jnp.floor((xyz - o) / t).astype(jnp.int32),
+        jnp.zeros((3,), jnp.int32),
+        jnp.asarray([dx - 1, dy - 1, dz - 1], jnp.int32),
+    )
+    flat = (cell[:, 0] * dy + cell[:, 1]) * dz + cell[:, 2]
+    flat = jnp.where(mask, flat, D)
+    order = jnp.argsort(flat)
+    fs = flat[order]
+    live = fs < D
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), fs[1:] != fs[:-1]]) & live
+    slot = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # per sorted point
+    first_pos = jnp.searchsorted(fs, fs, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first_pos.astype(jnp.int32)
+    keep = live & (slot < max_tiles) & (rank < cap)
+    s = jnp.where(keep, slot, max_tiles)
+    r = jnp.where(keep, rank, 0)
+    bx = jnp.zeros((max_tiles + 1, cap, 3), xyz.dtype).at[s, r].set(xyz[order])
+    bvalid = jnp.zeros((max_tiles + 1, cap), bool).at[s, r].set(keep)
+    bidx = jnp.full((max_tiles + 1, cap), -1, jnp.int32).at[s, r].set(
+        jnp.where(keep, order.astype(jnp.int32), -1))
+    tile_id = jnp.full((max_tiles + 1,), D, jnp.int32).at[s].set(
+        jnp.where(keep, fs, D))
+    slot_of = jnp.full((D + 1,), -1, jnp.int32).at[
+        jnp.where(keep, fs, D)].set(s)
+    slot_of = slot_of.at[D].set(-1)
+    slot_of_pt = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.where(live & (slot < max_tiles), slot, -1))
+    rank_of = jnp.zeros((n,), jnp.int32).at[order].set(rank)
+    return CompactTiles(
+        xyz=jnp.swapaxes(bx[:max_tiles], 1, 2), valid=bvalid[:max_tiles],
+        idx=bidx[:max_tiles], tile_id=tile_id[:max_tiles],
+        slot_of=slot_of, slot_of_pt=slot_of_pt, rank_of=rank_of,
+        origin=o, tile_size=t, dims=dims, cap=cap, max_tiles=max_tiles,
+    )
+
+
+def compact_nn_1nn(
+    tgt: CompactTiles,
+    qry: CompactTiles,
+    query_xyz: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact-within-tile_size 1-NN over occupied tiles only.
+
+    Same contract as tiled_nn_1nn; qry shares tgt's lattice.  Work:
+    27 offsets × (S, Q, P) dense blocks with S = occupied query tiles."""
+    dx, dy, dz = tgt.dims
+    D = dx * dy * dz
+    S = qry.max_tiles
+    Q = qry.cap
+
+    tid = qry.tile_id  # (S,) lattice id, D for dead slots
+    tz = tid % dz
+    ty = (tid // dz) % dy
+    tx = tid // (dy * dz)
+    slot_live = tid < D
+    qp = qry.xyz  # (S, 3, Q)
+
+    offs = jnp.asarray(
+        [[ox, oy, oz] for ox in (-1, 0, 1) for oy in (-1, 0, 1)
+         for oz in (-1, 0, 1)], jnp.int32)
+
+    def body(carry, off):
+        best_d2, best_idx = carry
+        nx_, ny_, nz_ = tx + off[0], ty + off[1], tz + off[2]
+        ok = (slot_live & (nx_ >= 0) & (nx_ < dx) & (ny_ >= 0) & (ny_ < dy)
+              & (nz_ >= 0) & (nz_ < dz))
+        nid = jnp.where(ok, (nx_ * dy + ny_) * dz + nz_, D)
+        nslot = tgt.slot_of[nid]               # (S,) −1 when empty
+        has = nslot >= 0
+        cp = tgt.xyz[jnp.maximum(nslot, 0)]    # (S, 3, P)
+        cvalid = tgt.valid[jnp.maximum(nslot, 0)] & has[:, None]
+        cidx = tgt.idx[jnp.maximum(nslot, 0)]
+        d2 = (
+            (qp[:, 0, :, None] - cp[:, 0, None, :]) ** 2
+            + (qp[:, 1, :, None] - cp[:, 1, None, :]) ** 2
+            + (qp[:, 2, :, None] - cp[:, 2, None, :]) ** 2
+        )
+        d2 = jnp.where(cvalid[:, None, :], d2, _INF)
+        # single-pass variadic reduce: min AND carrier index in one sweep
+        # of the (S, Q, P) block (a separate jnp.min + jnp.argmin +
+        # take_along_axis walks the materialized block three times)
+        m, sel = _minloc(d2, jnp.broadcast_to(cidx[:, None, :], d2.shape))
+        upd = m < best_d2
+        return (jnp.minimum(best_d2, m),
+                jnp.where(upd, sel, best_idx)), None
+
+    (best_d2, best_idx), _ = jax.lax.scan(
+        body,
+        (jnp.full((S, Q), _INF), jnp.full((S, Q), -1, jnp.int32)),
+        offs,
+    )
+
+    ok_pt = (qry.slot_of_pt >= 0) & (qry.rank_of < Q)
+    srow = jnp.maximum(qry.slot_of_pt, 0)
+    srank = jnp.minimum(qry.rank_of, Q - 1)
+    idx = jnp.where(ok_pt, best_idx[srow, srank], -1)
+    d2 = jnp.where(ok_pt, best_d2[srow, srank], _INF)
+    return idx.astype(jnp.int32), d2
+
+
 def tiled_nn_for_icp(
     tgt_xyz: jax.Array,
     tgt_mask: jax.Array,
@@ -176,9 +344,23 @@ def tiled_nn_for_icp(
     tile_size: float,
     dims: Tuple[int, int, int],
     cap: int,
+    max_tiles: int = 0,
 ):
     """Returns nn_fn(p) → (idx (N,), sq (N,)) closing over prebuilt target
-    tiles — the ICP 'tiled' backend."""
+    tiles — the ICP 'tiled' backend.  max_tiles > 0 selects the compact
+    occupied-tiles engine (the fast path; see CompactTiles)."""
+    if max_tiles > 0:
+        tgt_tiles = build_compact_tiles(
+            tgt_xyz, tgt_mask, origin, tile_size, dims, cap, max_tiles)
+
+        def nn_fn(p):
+            q_tiles = build_compact_tiles(
+                p, jnp.ones((p.shape[0],), bool), origin, tile_size, dims,
+                cap, max_tiles)
+            return compact_nn_1nn(tgt_tiles, q_tiles, p)
+
+        return nn_fn
+
     tgt_tiles = build_tiles(tgt_xyz, tgt_mask, origin, tile_size, dims, cap)
 
     def nn_fn(p):

@@ -85,7 +85,7 @@ def _gn_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "nn_backend", "cap_per_cell", "max_corr_dist", "huber_delta", "damping", "grid_cell", "tile_origin", "tile_dims"),
+    static_argnames=("iters", "nn_backend", "cap_per_cell", "max_corr_dist", "huber_delta", "damping", "grid_cell", "tile_origin", "tile_dims", "max_tiles"),
 )
 def icp_point_to_plane(
     src_xyz: jax.Array,
@@ -103,6 +103,7 @@ def icp_point_to_plane(
     cap_per_cell: int = 16,
     tile_origin: Optional[Tuple[float, float, float]] = None,
     tile_dims: Optional[Tuple[int, int, int]] = None,
+    max_tiles: int = 0,
 ) -> ICPResult:
     """Align source onto target.  All shapes static.
 
@@ -137,7 +138,7 @@ def icp_point_to_plane(
             )
         nn_fn = tiled_nn_for_icp(
             tgt_xyz, tgt_mask, jnp.asarray(tile_origin, jnp.float32),
-            grid_cell, tile_dims, cap_per_cell
+            grid_cell, tile_dims, cap_per_cell, max_tiles=max_tiles,
         )
     elif nn_backend == "grid":
         from mapping_private_tpu.ops.neighbors import nn_grid_1nn
@@ -224,19 +225,29 @@ def icp_point_to_plane_tiled(
     src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals,
     tile_size: float = 0.25, cap_per_cell: int = 256, **kwargs
 ) -> ICPResult:
-    """Big-cloud ICP: sizes the static tile lattice from the CONCRETE
-    target bounds, then runs the jitted solver with the 'tiled' NN
-    backend (dense per-tile brute blocks — see ops/tiled_nn.py)."""
+    """Big-cloud ICP: sizes the static tile lattice AND the occupied-tile
+    slot capacity from the CONCRETE target bounds, then runs the jitted
+    solver with the 'tiled' NN backend (compact occupied-tile blocks —
+    see ops/tiled_nn.py CompactTiles)."""
     import numpy as np
 
     t_np = np.asarray(tgt_xyz)[np.asarray(tgt_mask)]
     lo = t_np.min(0) - 2 * tile_size
     hi = t_np.max(0) + 2 * tile_size
     dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
+    # occupied-tile capacity: count the target's occupied cells plus 50%
+    # margin (the moving source can occupy tiles the target doesn't; spill
+    # degrades to no-correspondence, never wrong answers), rounded up to a
+    # power of two for compile reuse across similar scenes
+    cell = np.floor((t_np - lo) / tile_size).astype(np.int64)
+    occ = len(np.unique(
+        (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]))
+    max_tiles = 1 << int(np.ceil(np.log2(max(int(1.5 * occ), 64))))
     return icp_point_to_plane(
         src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals,
         nn_backend="tiled", grid_cell=tile_size, cap_per_cell=cap_per_cell,
-        tile_origin=tuple(float(v) for v in lo), tile_dims=dims, **kwargs
+        tile_origin=tuple(float(v) for v in lo), tile_dims=dims,
+        max_tiles=max_tiles, **kwargs
     )
 
 

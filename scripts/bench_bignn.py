@@ -3,7 +3,8 @@ import sys, time
 import numpy as np
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
-from mapping_private_tpu.ops.tiled_nn import build_tiles, tiled_nn_1nn
+from mapping_private_tpu.ops.tiled_nn import (
+    build_tiles, tiled_nn_1nn, build_compact_tiles, compact_nn_1nn)
 from mapping_private_tpu.ops.pallas_nn import prepare_nn_ref_argmin, nn_argmin_prepared
 from mapping_private_tpu.registration.icp import icp_point_to_plane_tiled
 
@@ -33,15 +34,29 @@ for N, tile, cap in [(200_000, 0.1, 128), (1_000_000, 0.05, 128)]:
     tgt_j, src_j = jnp.asarray(tgt), jnp.asarray(src)
     mask = jnp.ones((N,), bool)
     lo, dims = lattice(tgt, tile)
-    print(f"--- N={N} tile={tile} dims={dims} cap={cap}")
-    tt = build_tiles(tgt_j, mask, lo, tile, dims, cap)
-    ovf = int(np.asarray(tt.rank_of >= cap).sum())
-    f_build = jax.jit(lambda: build_tiles(src_j, mask, lo, tile, dims, cap))
-    f_nn = jax.jit(lambda: tiled_nn_1nn(tt, f_build(), src_j))
-    t = timeit(f_nn, 5)
-    idx, sq = f_nn()
+    cell = np.floor((tgt - lo) / tile).astype(np.int64)
+    occ = len(np.unique(
+        (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]))
+    MT = 1 << int(np.ceil(np.log2(max(int(1.5 * occ), 64))))
+    print(f"--- N={N} tile={tile} dims={dims} cap={cap} occ={occ} MT={MT}")
+    ct = build_compact_tiles(tgt_j, mask, lo, tile, dims, cap, MT)
+    ovf = int(np.asarray(ct.rank_of >= cap).sum())
+    f_cbuild = jax.jit(lambda: build_compact_tiles(
+        src_j, mask, lo, tile, dims, cap, MT))
+    f_cnn = jax.jit(lambda: compact_nn_1nn(ct, f_cbuild(), src_j))
+    t = timeit(f_cnn, 5)
+    idx, sq = f_cnn()
     ans = float(jnp.mean(idx >= 0))
-    print(f"tiled 1-NN {N/1e3:.0f}k x {N/1e3:.0f}k: {t*1e3:.1f} ms  (overflow={ovf}, answered={ans:.4f})")
+    print(f"compact 1-NN {N/1e3:.0f}k x {N/1e3:.0f}k: {t*1e3:.1f} ms  "
+          f"(overflow={ovf}, answered={ans:.4f})")
+    if N <= 200_000:
+        tt = build_tiles(tgt_j, mask, lo, tile, dims, cap)
+        f_build = jax.jit(lambda: build_tiles(src_j, mask, lo, tile, dims, cap))
+        f_nn = jax.jit(lambda: tiled_nn_1nn(tt, f_build(), src_j))
+        td = timeit(f_nn, 2)
+        di, _ = f_nn()
+        agree = float(jnp.mean((di == idx) | (di < 0) | (idx < 0)))
+        print(f"dense tiled 1-NN: {td*1e3:.1f} ms (compact idx agreement {agree:.4f})")
     if N == 200_000:
         rt = prepare_nn_ref_argmin(tgt_j)
         fp = jax.jit(lambda: nn_argmin_prepared(src_j, rt))

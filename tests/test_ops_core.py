@@ -206,6 +206,63 @@ class TestTiledNN:
         d_b = np.sum((s64 - t64[np.asarray(bi[:, 0])]) ** 2, axis=1)
         assert float(np.max(d_g - d_b)) <= 0.0
 
+    def test_compact_matches_bruteforce_exactly(self):
+        """Occupied-tiles-only engine (CompactTiles): same exactness bar
+        as the dense lattice, at a fraction of the work."""
+        from mapping_private_tpu.ops.tiled_nn import (
+            build_compact_tiles, compact_nn_1nn,
+        )
+
+        rng = np.random.default_rng(13)
+        n = 10000
+        xy = rng.uniform(0, 5, (n, 2))
+        z = 0.3 * np.sin(xy[:, 0] * 2) + rng.normal(0, 0.005, n)
+        tgt = np.column_stack([xy, z]).astype(np.float32)
+        src = (tgt + rng.normal(0, 0.01, tgt.shape)).astype(np.float32)
+        mask = jnp.ones((n,), bool)
+        tile = 0.25
+        lo = tgt.min(0) - 2 * tile
+        dims = tuple(int(v) for v in np.ceil((tgt.max(0) + 2 * tile - lo) / tile))
+        cell = np.floor((tgt - lo) / tile).astype(np.int64)
+        occ = len(np.unique(
+            (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]))
+        mt = 1 << int(np.ceil(np.log2(2 * occ)))
+        ct = build_compact_tiles(jnp.asarray(tgt), mask, lo, tile, dims, 128, mt)
+        cq = build_compact_tiles(jnp.asarray(src), mask, lo, tile, dims, 128, mt)
+        gi, gs = compact_nn_1nn(ct, cq, jnp.asarray(src))
+        bi, _ = knn_bruteforce(jnp.asarray(src), jnp.asarray(tgt), mask, k=1)
+        gi = np.asarray(gi)
+        assert (gi >= 0).all()
+        t64, s64 = tgt.astype(np.float64), src.astype(np.float64)
+        d_g = np.sum((s64 - t64[gi]) ** 2, axis=1)
+        d_b = np.sum((s64 - t64[np.asarray(bi[:, 0])]) ** 2, axis=1)
+        assert float(np.max(d_g - d_b)) <= 0.0
+
+    def test_compact_spill_contract(self):
+        """Queries in tiles beyond max_tiles come back −1 (no wrong
+        answers from silent truncation of the query's own tile)."""
+        from mapping_private_tpu.ops.tiled_nn import (
+            build_compact_tiles, compact_nn_1nn,
+        )
+
+        rng = np.random.default_rng(14)
+        n = 2000
+        pts = rng.uniform(0, 4, (n, 3)).astype(np.float32)
+        mask = jnp.ones((n,), bool)
+        tile = 0.5
+        lo = pts.min(0) - 2 * tile
+        dims = tuple(int(v) for v in np.ceil((pts.max(0) + 2 * tile - lo) / tile))
+        ct = build_compact_tiles(jnp.asarray(pts), mask, lo, tile, dims, 64, 16)
+        cq = build_compact_tiles(jnp.asarray(pts), mask, lo, tile, dims, 64, 16)
+        gi, _ = compact_nn_1nn(ct, cq, jnp.asarray(pts))
+        gi = np.asarray(gi)
+        spilled = np.asarray(cq.slot_of_pt) < 0
+        assert spilled.any()  # 16 slots can't hold this scene
+        assert (gi[spilled] == -1).all()
+        # answered self-queries must find themselves (distance 0)
+        ok = gi >= 0
+        assert (gi[ok] == np.arange(n)[ok]).all()
+
     def test_tiled_icp_backend(self):
         """ICP with the tiled backend converges on a shifted scan."""
         from mapping_private_tpu.registration.icp import icp_point_to_plane  # noqa
