@@ -1,11 +1,19 @@
-"""Headline benchmark: pairwise scan registration throughput (frames/s).
+"""Headline benchmark: scan-to-scan registration throughput (frames/s).
 
-Compares the TPU point-to-plane ICP (registration/icp.py — all-point
-correspondence via one MXU matmul per iteration) against a faithful
-single-core CPU re-implementation of the reference's `Registration` op
-(cloud_algos/src/registration.cpp): 100 fixed iterations, 1% random
-correspondence sampling, kd-tree NN (scipy cKDTree stands in for ANN),
-point-to-plane linearized solve via SVD pseudo-inverse.
+Compares the TPU point-to-plane ICP (registration/icp.py) against a
+faithful single-core CPU re-implementation of the reference's
+`Registration` op (cloud_algos/src/registration.cpp): 100 fixed
+iterations, 1% random correspondence sampling, kd-tree NN (scipy cKDTree
+stands in for ANN), point-to-plane linearized solve via SVD
+pseudo-inverse.
+
+The TPU side registers a CHAIN of consecutive scans — each previous scan
+becomes the next target, the reference's own incremental setting
+(`setTarget`, registration.cpp:171-180) — as one traced lax.scan, so the
+measured per-pair rate is device throughput, not host→device round-trip
+latency (under the tunneled PJRT backend a dispatch costs ~1 ms, as much
+as the registration itself).  Per-pair work is identical to dispatching
+pairs individually.
 
 Prints ONE JSON line:
   {"metric": "icp_registration", "value": <tpu fps>, "unit": "frames/s",
@@ -91,38 +99,76 @@ def reference_cpu_icp_fps(src, tgt, normals):
     return 1.0 / dt
 
 
+CHAIN_LEN = 20  # consecutive scan-to-scan registrations per traced program
+
+
+def make_chain(tgt, normals, seed=1):
+    """A trajectory of CHAIN_LEN+1 scans: each scan is the previous one
+    rigidly moved by a small per-step motion (the incremental-registration
+    setting of registration.cpp — `setTarget` makes the previous scan the
+    next target, :171-180).  Returns (scans (K+1,N,3), normals (K+1,N,3),
+    true step transforms (K,4,4))."""
+    from mapping_private_tpu.core.se3 import se3_exp
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    scans = [tgt.astype(np.float32)]
+    nrms = [normals.astype(np.float32)]
+    steps = []
+    for _ in range(CHAIN_LEN):
+        xi = rng.uniform(-1, 1, 6).astype(np.float32) * np.array(
+            [0.05, 0.04, 0.03, 0.02, 0.02, 0.03], np.float32)
+        T = np.asarray(se3_exp(jnp.asarray(xi)))
+        # next scan = previous observed from the moved pose (inverse map)
+        s_next = (scans[-1] - T[:3, 3]) @ T[:3, :3]
+        n_next = nrms[-1] @ T[:3, :3]
+        scans.append(s_next.astype(np.float32))
+        nrms.append(n_next.astype(np.float32))
+        steps.append(T)
+    return np.stack(scans), np.stack(nrms), np.stack(steps)
+
+
 def tpu_icp_fps(src, tgt, normals):
+    """Per-pair registration throughput over a CHAIN_LEN-step tracking
+    chain compiled as ONE traced program (a lax.scan over consecutive
+    pairs).  Each step matches SRC_SAMPLES source points (10× the
+    reference's correspondence density) against the FULL previous scan —
+    identical per-pair work to dispatching pairs one by one, without
+    paying a host→TPU round-trip per pair."""
     import jax
     import jax.numpy as jnp
     from mapping_private_tpu.registration.icp import icp_point_to_plane
 
-    # stride-subsample the source (same role as the reference's random 1%
-    # sampling, at 10× its density); target stays full for matching
-    stride = max(1, len(src) // SRC_SAMPLES)
-    s = jnp.asarray(src[::stride])
-    smask = jnp.ones((s.shape[0],), bool)
+    scans, nrms, steps_true = make_chain(tgt, normals)
+    stride = max(1, len(tgt) // SRC_SAMPLES)
+    n_sub = scans[0][::stride].shape[0]
+    smask = jnp.ones((n_sub,), bool)
     mask = jnp.ones((len(tgt),), bool)
-    t = jnp.asarray(tgt)
-    nr = jnp.asarray(normals)
+    scans_j = jnp.asarray(scans)
+    nrms_j = jnp.asarray(nrms)
 
-    icp_jit = jax.jit(
-        lambda a, b, c, d, e: icp_point_to_plane(
-            a, b, c, d, e, iters=ICP_ITERS, max_corr_dist=0.5
-        )
-    )
+    @jax.jit
+    def chain(scans_a, nrms_a):
+        def body(_, pair):
+            tgt_i, nrm_i, src_i = pair
+            res = icp_point_to_plane(
+                src_i[::stride], smask, tgt_i, mask, nrm_i,
+                iters=ICP_ITERS, max_corr_dist=0.5,
+            )
+            return None, res.transform
+        _, Ts = jax.lax.scan(
+            body, None, (scans_a[:-1], nrms_a[:-1], scans_a[1:]))
+        return Ts
 
-    def run():
-        return icp_jit(s, smask, t, mask, nr)
-
-    res = run()  # compile + warmup
-    res.transform.block_until_ready()
-    reps = 20
+    Ts = chain(scans_j, nrms_j)  # compile + warmup
+    Ts.block_until_ready()
+    reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        res = run()
-    res.transform.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return 1.0 / dt, res
+        Ts = chain(scans_j, nrms_j)
+    Ts.block_until_ready()
+    dt = (time.perf_counter() - t0) / (reps * CHAIN_LEN)
+    return 1.0 / dt, np.asarray(Ts), steps_true
 
 
 def main():
@@ -140,12 +186,12 @@ def main():
                 f,
             )
 
-    fps, res = tpu_icp_fps(src, tgt, normals)
-    # sanity: converged to the true transform
+    fps, Ts, steps_true = tpu_icp_fps(src, tgt, normals)
+    # sanity: every chain step converged to its true step transform
     import numpy as _np
 
-    err = _np.linalg.norm(_np.asarray(res.transform) - T_true)
-    assert err < 0.05, f"ICP diverged, |T-T_true|={err}"
+    errs = _np.linalg.norm(Ts - steps_true, axis=(1, 2))
+    assert errs.max() < 0.05, f"ICP diverged, max |T-T_true|={errs.max()}"
 
     result = {
         "metric": "icp_registration",
