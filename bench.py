@@ -168,25 +168,58 @@ def tpu_icp_fps(src, tgt, normals):
         Ts = chain(scans_j, nrms_j)
     Ts.block_until_ready()
     dt = (time.perf_counter() - t0) / (reps * CHAIN_LEN)
-    return 1.0 / dt, np.asarray(Ts), steps_true
+
+    # per-dispatch protocol: ONE pair per jitted call, so each rep pays
+    # the full host→device round-trip (the reference's per-message node
+    # dispatch).  Reported alongside the chained rate so the two
+    # protocols stay distinguishable in history.
+    @jax.jit
+    def one_pair(tgt_i, nrm_i, src_i):
+        return icp_point_to_plane(
+            src_i[::stride], smask, tgt_i, mask, nrm_i,
+            iters=ICP_ITERS, max_corr_dist=0.5,
+        ).transform
+
+    T1 = one_pair(scans_j[0], nrms_j[0], scans_j[1])
+    T1.block_until_ready()
+    reps1 = 50
+    t0 = time.perf_counter()
+    for _ in range(reps1):
+        T1 = one_pair(scans_j[0], nrms_j[0], scans_j[1])
+    T1.block_until_ready()
+    fps_dispatch = reps1 / (time.perf_counter() - t0)
+
+    return 1.0 / dt, fps_dispatch, np.asarray(Ts), steps_true
 
 
 def main():
     src, tgt, normals, T_true = make_pair()
 
+    # The cached CPU baseline is per-pair wall-clock (kd-tree build + 100
+    # iterations, one pair per call).  The TPU headline amortizes dispatch
+    # over a 20-pair traced chain — identical per-pair device work, but a
+    # different dispatch protocol, so both TPU rates are reported and the
+    # cache carries a protocol version that forces re-measurement if the
+    # CPU protocol ever changes.
+    CPU_PROTOCOL = "registration.cpp 100-iter 1%-sample kdtree ICP, per-pair"
+    cached = None
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            ref_fps = json.load(f)["reference_cpu_fps"]
+            cached = json.load(f)
+        if cached.get("n_points") != N_POINTS:
+            cached = None  # protocol drift → invalidate
+    if cached is not None:
+        ref_fps = cached["reference_cpu_fps"]
     else:
         ref_fps = reference_cpu_icp_fps(src, tgt, normals)
         with open(BASELINE_CACHE, "w") as f:
             json.dump(
                 {"reference_cpu_fps": ref_fps, "n_points": N_POINTS,
-                 "protocol": "registration.cpp 100-iter 1%-sample kdtree ICP"},
+                 "protocol": CPU_PROTOCOL},
                 f,
             )
 
-    fps, Ts, steps_true = tpu_icp_fps(src, tgt, normals)
+    fps, fps_dispatch, Ts, steps_true = tpu_icp_fps(src, tgt, normals)
     # sanity: every chain step converged to its true step transform
     import numpy as _np
 
@@ -198,6 +231,12 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / ref_fps, 2),
+        # value amortizes dispatch over a 20-pair traced chain (device
+        # throughput); per_dispatch_fps pays one host round-trip per pair;
+        # the CPU baseline divisor is per-pair wall-clock
+        "protocol": "chain20",
+        "per_dispatch_fps": round(fps_dispatch, 2),
+        "per_dispatch_vs_baseline": round(fps_dispatch / ref_fps, 2),
     }
     # perf drift tracking: every run appends to BENCH_HISTORY.jsonl with a
     # timestamp + git head, so regressions are visible across rounds

@@ -242,9 +242,14 @@ def _hough_round(xy, mask, key, cfg: HoughConfig):
     # parameter-clustering tolerance of the winner (the reference's
     # voting_threshold percentage, segmentation_by_voting.cpp:94)
     lvalid = lc > 0
-    lnear = lvalid & (jnp.abs(rho - line_rho) < cfg.param_cluster_tolerance) & (
-        jnp.abs(nrm @ line_n) > jnp.cos(jnp.deg2rad(10.0))
-    )
+    # canonicalize hypothesis sign: (−n, −rho) describes the same line as
+    # (n, rho), so align each hypothesis's rho with the winner's normal
+    # direction before the rho proximity test
+    ldot = nrm @ line_n
+    lsgn = jnp.where(ldot >= 0.0, 1.0, -1.0)
+    lnear = lvalid & (
+        jnp.abs(lsgn * rho - line_rho) < cfg.param_cluster_tolerance
+    ) & (jnp.abs(ldot) > jnp.cos(jnp.deg2rad(10.0)))
     line_hyp_frac = jnp.sum(lnear.astype(jnp.float32)) / jnp.maximum(
         jnp.sum(lvalid.astype(jnp.float32)), 1.0
     )
@@ -809,6 +814,9 @@ class VotingConfig:
     rsd_feature: bool = True
     percentage_feature: bool = True
     circle_percentage: float = 50.0  # :122 — % surviving the gates
+    # the line variant carries its own knob
+    # (using_lines_for_segmentation_by_voting.cpp:122)
+    line_percentage: float = 50.0
     # model-family restriction (using_lines/-circles variants)
     allow_lines: bool = True
     allow_circles: bool = True
@@ -957,7 +965,7 @@ def segment_by_voting(
                     accept_line = False
                 elif cfg.percentage_feature:
                     accept_line = (
-                        100.0 * n_kept_l / n_fitted_l >= cfg.circle_percentage
+                        100.0 * n_kept_l / n_fitted_l >= cfg.line_percentage
                     )
         if accept_line:
             box = fit_box_zup(xyz_j, member_j)

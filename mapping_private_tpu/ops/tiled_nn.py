@@ -226,9 +226,13 @@ def build_compact_tiles(
 ) -> CompactTiles:
     """Bucket points into occupied-tile slots (sorted-run compaction).
 
-    Occupied tiles beyond ``max_tiles`` spill: their points get slot −1
-    and read back as no-correspondence, the same contract as cap
-    overflow.  Size ``max_tiles`` generously from concrete bounds
+    Occupied tiles beyond ``max_tiles`` spill: their points get slot −1.
+    On the QUERY side of compact_nn_1nn that reads back as
+    no-correspondence (idx −1), the same safe contract as cap overflow.
+    On the TARGET side it is NOT safe: a spilled target tile vanishes
+    from ``slot_of``, so queries near it get a valid-looking *farther*
+    neighbor instead of −1.  max_tiles MUST cover every target-occupied
+    tile — size it from concrete occupancy counts
     (see icp_point_to_plane_tiled)."""
     n = xyz.shape[0]
     dx, dy, dz = dims
@@ -276,12 +280,13 @@ def build_compact_tiles(
 def compact_nn_1nn(
     tgt: CompactTiles,
     qry: CompactTiles,
-    query_xyz: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact-within-tile_size 1-NN over occupied tiles only.
 
-    Same contract as tiled_nn_1nn; qry shares tgt's lattice.  Work:
-    27 offsets × (S, Q, P) dense blocks with S = occupied query tiles."""
+    Same contract as tiled_nn_1nn (results are scattered back to the
+    original query rows via qry.slot_of_pt/rank_of, so no raw coordinates
+    are needed here); qry shares tgt's lattice.  Work: 27 offsets ×
+    (S, Q, P) dense blocks with S = occupied query tiles."""
     dx, dy, dz = tgt.dims
     D = dx * dy * dz
     S = qry.max_tiles
@@ -357,7 +362,7 @@ def tiled_nn_for_icp(
             q_tiles = build_compact_tiles(
                 p, jnp.ones((p.shape[0],), bool), origin, tile_size, dims,
                 cap, max_tiles)
-            return compact_nn_1nn(tgt_tiles, q_tiles, p)
+            return compact_nn_1nn(tgt_tiles, q_tiles)
 
         return nn_fn
 

@@ -232,17 +232,26 @@ def icp_point_to_plane_tiled(
     import numpy as np
 
     t_np = np.asarray(tgt_xyz)[np.asarray(tgt_mask)]
-    lo = t_np.min(0) - 2 * tile_size
-    hi = t_np.max(0) + 2 * tile_size
+    s_np = np.asarray(src_xyz)[np.asarray(src_mask)]
+    lo = np.minimum(t_np.min(0), s_np.min(0)) - 2 * tile_size
+    hi = np.maximum(t_np.max(0), s_np.max(0)) + 2 * tile_size
     dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
-    # occupied-tile capacity: count the target's occupied cells plus 50%
-    # margin (the moving source can occupy tiles the target doesn't; spill
-    # degrades to no-correspondence, never wrong answers), rounded up to a
-    # power of two for compile reuse across similar scenes
-    cell = np.floor((t_np - lo) / tile_size).astype(np.int64)
-    occ = len(np.unique(
-        (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]))
+
+    # Occupied-tile capacity contract: max_tiles MUST cover every
+    # target-occupied tile — a spilled TARGET tile silently vanishes from
+    # slot_of and compact_nn_1nn returns a valid-looking *farther*
+    # neighbor, not −1.  Only QUERY-side spill degrades safely to
+    # no-correspondence.  Size from the union of target and initial
+    # source occupancy (both concrete here) plus 50% margin for source
+    # motion, rounded up to a power of two for compile reuse.
+    def _occ(pts):
+        cell = np.floor((pts - lo) / tile_size).astype(np.int64)
+        return len(np.unique(
+            (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]))
+
+    occ = max(_occ(t_np), _occ(s_np))
     max_tiles = 1 << int(np.ceil(np.log2(max(int(1.5 * occ), 64))))
+    assert max_tiles >= _occ(t_np), "max_tiles must cover target occupancy"
     return icp_point_to_plane(
         src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals,
         nn_backend="tiled", grid_cell=tile_size, cap_per_cell=cap_per_cell,

@@ -43,7 +43,7 @@ for N, tile, cap in [(200_000, 0.1, 128), (1_000_000, 0.05, 128)]:
     ovf = int(np.asarray(ct.rank_of >= cap).sum())
     f_cbuild = jax.jit(lambda: build_compact_tiles(
         src_j, mask, lo, tile, dims, cap, MT))
-    f_cnn = jax.jit(lambda: compact_nn_1nn(ct, f_cbuild(), src_j))
+    f_cnn = jax.jit(lambda: compact_nn_1nn(ct, f_cbuild()))
     t = timeit(f_cnn, 5)
     idx, sq = f_cnn()
     ans = float(jnp.mean(idx >= 0))

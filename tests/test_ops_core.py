@@ -229,7 +229,7 @@ class TestTiledNN:
         mt = 1 << int(np.ceil(np.log2(2 * occ)))
         ct = build_compact_tiles(jnp.asarray(tgt), mask, lo, tile, dims, 128, mt)
         cq = build_compact_tiles(jnp.asarray(src), mask, lo, tile, dims, 128, mt)
-        gi, gs = compact_nn_1nn(ct, cq, jnp.asarray(src))
+        gi, gs = compact_nn_1nn(ct, cq)
         bi, _ = knn_bruteforce(jnp.asarray(src), jnp.asarray(tgt), mask, k=1)
         gi = np.asarray(gi)
         assert (gi >= 0).all()
@@ -254,7 +254,7 @@ class TestTiledNN:
         dims = tuple(int(v) for v in np.ceil((pts.max(0) + 2 * tile - lo) / tile))
         ct = build_compact_tiles(jnp.asarray(pts), mask, lo, tile, dims, 64, 16)
         cq = build_compact_tiles(jnp.asarray(pts), mask, lo, tile, dims, 64, 16)
-        gi, _ = compact_nn_1nn(ct, cq, jnp.asarray(pts))
+        gi, _ = compact_nn_1nn(ct, cq)
         gi = np.asarray(gi)
         spilled = np.asarray(cq.slot_of_pt) < 0
         assert spilled.any()  # 16 slots can't hold this scene
