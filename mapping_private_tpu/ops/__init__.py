@@ -20,6 +20,7 @@ from mapping_private_tpu.ops.filters import (
 )
 from mapping_private_tpu.ops.region_growing import region_grow
 from mapping_private_tpu.ops.mls import mls, mls_smooth
+from mapping_private_tpu.ops.nn_dispatch import nn_1nn, choose_nn_engine
 
 __all__ = [
     "pairwise_sq_dists",
@@ -42,4 +43,6 @@ __all__ = [
     "region_grow",
     "mls",
     "mls_smooth",
+    "nn_1nn",
+    "choose_nn_engine",
 ]
