@@ -277,6 +277,24 @@ def build_compact_tiles(
     )
 
 
+def refresh_compact_coords(ct: CompactTiles, xyz: jax.Array) -> CompactTiles:
+    """Re-scatter CURRENT coordinates into an existing slot layout —
+    the cheap between-sweeps path of tiled ICP: bucket assignments
+    (argsort-bound) are carried, only the (N,3) coordinate scatter runs.
+
+    Exactness shrinks gracefully: a point that moved δ from where it was
+    bucketed is still guaranteed its true NN within ``tile_size − δ``
+    (the 3³ stencil around the STALE tile covers that ball).  Callers
+    re-bucket when accumulated motion exceeds their margin
+    (see registration.icp icp_point_to_plane's tiled backend)."""
+    n = xyz.shape[0]
+    keep = (ct.slot_of_pt >= 0) & (ct.rank_of < ct.cap)
+    s = jnp.where(keep, ct.slot_of_pt, ct.max_tiles)
+    r = jnp.where(keep, ct.rank_of, 0)
+    bx = jnp.zeros((ct.max_tiles + 1, ct.cap, 3), xyz.dtype).at[s, r].set(xyz)
+    return dataclasses.replace(ct, xyz=jnp.swapaxes(bx[:ct.max_tiles], 1, 2))
+
+
 def compact_nn_1nn(
     tgt: CompactTiles,
     qry: CompactTiles,

@@ -70,6 +70,11 @@ def make_sharded_map_icp_step(
     global NN; the GN system is then built redundantly (scan is
     replicated) and solved locally — no further collective needed.
 
+    This is the BRUTE-FORCE per-shard engine — the small-map fallback
+    (O(N·M_local) per sweep).  At the 64k–1M pts/shard scale use
+    make_sharded_map_icp_step_tiled, which runs the compact
+    occupied-tiles engine per shard instead.
+
     Returns (step_fn, shardings) for
     step_fn(scan (N,3), scan_mask, map_xyz (M,3), map_mask, map_normals,
     T (4,4)) → (T_new, num_corr).
@@ -165,6 +170,152 @@ def make_sharded_map_icp_step(
             # outputs ARE replicated (every device computes the same argmin
             # over the all_gathered winners), but that's data-dependent —
             # not statically provable — so disable the replication check
+            check_vma=False,
+        )
+    )
+    shardings = tuple(NamedSharding(mesh, s) for s in specs_in)
+    return step, shardings
+
+
+def size_map_lattice(
+    map_xyz,
+    map_mask,
+    tile_size: float,
+    scan_xyz=None,
+    tile_margin: float = 1.5,
+):
+    """Size the static tile lattice for the tiled sharded map-ICP from
+    CONCRETE map (and optionally scan) bounds — host-side, like
+    icp_point_to_plane_tiled.  Returns (origin, dims, cap, max_tiles).
+
+    max_tiles covers the GLOBAL map occupancy, so every shard's slice
+    (≤ global occupancy) is covered too — target-side spill would return
+    farther neighbors, never −1 (see ops.tiled_nn.build_compact_tiles).
+    """
+    import numpy as np
+
+    pts = [np.asarray(map_xyz)[np.asarray(map_mask)]]
+    if scan_xyz is not None:
+        pts.append(np.asarray(scan_xyz))
+    lo = np.min([p.min(0) for p in pts], axis=0) - 2 * tile_size
+    hi = np.max([p.max(0) for p in pts], axis=0) + 2 * tile_size
+    dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
+    cell = np.floor((pts[0] - lo) / tile_size).astype(np.int64)
+    flat = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    _, counts = np.unique(flat, return_counts=True)
+    occ, percell = len(counts), int(counts.max())
+    cap = max(128, -(-percell // 128) * 128)
+    max_tiles = 1 << int(np.ceil(np.log2(max(int(tile_margin * occ), 64))))
+    return tuple(float(v) for v in lo), dims, cap, max_tiles
+
+
+def make_sharded_map_icp_step_tiled(
+    mesh: Mesh,
+    origin,
+    tile_size: float,
+    dims,
+    cap: int,
+    max_tiles: int,
+    q_cap: int = 128,
+    q_max_tiles: int = 4096,
+    max_corr_dist: float = 0.3,
+    huber_delta: float = 0.05,
+    damping: float = 1e-6,
+    sweeps: int = 1,
+):
+    """Sharded scan-to-map ICP with the COMPACT-TILES NN engine per shard
+    — the fast path for 64k–1M map points per device, replacing the
+    brute-force (scan × M_local) matrices of make_sharded_map_icp_step
+    with the same occupied-tiles engine that does 1M×1M in 391 ms
+    single-chip (ops/tiled_nn.py, KERNELS.md).
+
+    Each device buckets its own map slice ONCE per step call; the
+    replicated scan re-buckets per GN sweep (it moves, and it's small);
+    per-shard winners exchange via the existing 7-float all_gather +
+    cross-shard argmin, so the result is the exact global NN within
+    ``tile_size``.  ``sweeps`` GN iterations run inside one traced scan —
+    the map buckets are reused across all of them.
+
+    The lattice (origin/tile_size/dims/cap/max_tiles) must be sized from
+    concrete bounds — use size_map_lattice.  q_max_tiles bounds the
+    SCAN's occupied tiles (query spill degrades to no-correspondence,
+    which is safe).
+
+    Returns (step_fn, shardings) with the same signature as
+    make_sharded_map_icp_step: step_fn(scan, scan_mask, map_xyz,
+    map_mask, map_normals, T) → (T_new, num_corr at the last sweep).
+    """
+    from mapping_private_tpu.ops.tiled_nn import (
+        build_compact_tiles,
+        compact_nn_1nn,
+    )
+
+    axes = tuple(mesh.axis_names)
+    o = jnp.asarray(origin, jnp.float32)
+    dims = tuple(int(d) for d in dims)
+
+    def local_step(scan, scan_mask, mxyz, mmask, mnrm, T):
+        tiles = build_compact_tiles(
+            mxyz, mmask, o, tile_size, dims, cap, max_tiles)
+
+        def sweep(T, _):
+            p = se3_apply(T, scan)
+            qt = build_compact_tiles(
+                p, scan_mask, o, tile_size, dims, q_cap, q_max_tiles)
+            idx, sq = compact_nn_1nn(tiles, qt)
+            has = idx >= 0
+            i = jnp.maximum(idx, 0)
+            cand = jnp.concatenate(
+                [jnp.where(has, sq, jnp.inf)[:, None], mxyz[i], mnrm[i]],
+                axis=1,
+            )  # (N, 7) this shard's winners
+            allc = cand
+            for a in axes:
+                allc = jax.lax.all_gather(allc, a)
+                allc = allc.reshape((-1,) + cand.shape)
+            win = jnp.argmin(allc[..., 0], axis=0)
+            idxs = jnp.broadcast_to(win[None, :, None], (1,) + allc.shape[1:])
+            sel = jnp.take_along_axis(allc, idxs, axis=0)[0]
+            sq_g, q, n = sel[:, 0], sel[:, 1:4], sel[:, 4:7]
+
+            ok = scan_mask & (sq_g <= max_corr_dist * max_corr_dist)
+            r = jnp.sum(n * (p - q), axis=-1)
+            absr = jnp.abs(r)
+            w = jnp.where(
+                absr <= huber_delta, 1.0,
+                huber_delta / jnp.maximum(absr, 1e-12))
+            w = jnp.where(ok, w, 0.0)
+            J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)
+            Jw = J * w[:, None]
+            H = jax.lax.dot_general(
+                J, Jw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            g = jax.lax.dot_general(
+                Jw, r, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            xi = -jnp.linalg.solve(H + damping * jnp.eye(6), g)
+            return se3_exp(xi) @ T, jnp.sum(ok.astype(jnp.int32))
+
+        T, cnts = jax.lax.scan(sweep, T, None, length=sweeps)
+        return T, cnts[-1]
+
+    specs_in = (
+        P(),  # scan replicated
+        P(),  # scan_mask
+        P(axes, None),  # map xyz sharded on points
+        P(axes),  # map mask
+        P(axes, None),  # map normals
+        P(),  # pose replicated
+    )
+    specs_out = (P(), P())
+    step = jax.jit(
+        shard_map(
+            local_step, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+            # outputs replicated by the data-dependent cross-shard argmin
             check_vma=False,
         )
     )

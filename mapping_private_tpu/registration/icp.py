@@ -41,19 +41,20 @@ class ICPResult:
     per_iter_rmse: jax.Array  # (iters,)
 
 
-def _gn_step(
-    src_xyz: jax.Array,
+def _gn_from_corr(
+    p: jax.Array,
+    idx: jax.Array,
+    sq: jax.Array,
     src_mask: jax.Array,
     tgt_xyz: jax.Array,
     tgt_normals: jax.Array,
     T: jax.Array,
-    nn_fn,
     max_corr_dist: float,
     huber_delta: float,
     damping: float,
 ):
-    p = se3_apply(T, src_xyz)
-    idx, sq = nn_fn(p)  # (N,) int32, (N,)
+    """The GN update given correspondences (idx, sq) for transformed
+    points p — shared by every NN backend."""
     ok = src_mask & (idx >= 0) & (sq <= max_corr_dist * max_corr_dist)
     q = tgt_xyz[jnp.maximum(idx, 0)]
     n = tgt_normals[jnp.maximum(idx, 0)]
@@ -83,9 +84,28 @@ def _gn_step(
     return T_new, rmse, cnt
 
 
+def _gn_step(
+    src_xyz: jax.Array,
+    src_mask: jax.Array,
+    tgt_xyz: jax.Array,
+    tgt_normals: jax.Array,
+    T: jax.Array,
+    nn_fn,
+    max_corr_dist: float,
+    huber_delta: float,
+    damping: float,
+):
+    p = se3_apply(T, src_xyz)
+    idx, sq = nn_fn(p)  # (N,) int32, (N,)
+    return _gn_from_corr(
+        p, idx, sq, src_mask, tgt_xyz, tgt_normals, T,
+        max_corr_dist, huber_delta, damping,
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "nn_backend", "cap_per_cell", "max_corr_dist", "huber_delta", "damping", "grid_cell", "tile_origin", "tile_dims", "max_tiles"),
+    static_argnames=("iters", "nn_backend", "cap_per_cell", "max_corr_dist", "huber_delta", "damping", "grid_cell", "tile_origin", "tile_dims", "max_tiles", "rebucket_margin"),
 )
 def icp_point_to_plane(
     src_xyz: jax.Array,
@@ -104,6 +124,7 @@ def icp_point_to_plane(
     tile_origin: Optional[Tuple[float, float, float]] = None,
     tile_dims: Optional[Tuple[int, int, int]] = None,
     max_tiles: int = 0,
+    rebucket_margin: Optional[float] = None,
 ) -> ICPResult:
     """Align source onto target.  All shapes static.
 
@@ -129,13 +150,67 @@ def icp_point_to_plane(
         # — N·27·cap work in MXU/VPU-shaped batches.  The static lattice
         # (tile_origin, tile_dims) must be passed in (use
         # icp_point_to_plane_tiled to size it from concrete bounds).
-        from mapping_private_tpu.ops.tiled_nn import tiled_nn_for_icp
-
         if tile_origin is None or tile_dims is None:
             raise ValueError(
                 "nn_backend='tiled' needs static tile_origin/tile_dims — "
                 "call icp_point_to_plane_tiled(...) instead"
             )
+        if max_tiles > 0:
+            # compact occupied-tiles engine with PERSISTENT query buckets:
+            # the map is bucketed once; queries bucket at sweep 0 and the
+            # (argsort-bound) re-bucketing is skipped while accumulated
+            # motion stays under rebucket_margin — only the cheap (N,3)
+            # coordinate re-scatter runs per sweep.  Exactness: a query δ
+            # from where it was bucketed keeps its guaranteed NN radius
+            # tile_size − δ ≥ tile_size − margin (refresh_compact_coords).
+            from mapping_private_tpu.ops.tiled_nn import (
+                build_compact_tiles,
+                compact_nn_1nn,
+                refresh_compact_coords,
+            )
+
+            origin = jnp.asarray(tile_origin, jnp.float32)
+            margin = (0.5 * grid_cell if rebucket_margin is None
+                      else rebucket_margin)
+            tgt_tiles = build_compact_tiles(
+                tgt_xyz, tgt_mask, origin, grid_cell, tile_dims,
+                cap_per_cell, max_tiles)
+
+            p0 = se3_apply(T0, src_xyz)
+            qt0 = build_compact_tiles(
+                p0, src_mask, origin, grid_cell, tile_dims,
+                cap_per_cell, max_tiles)
+
+            def tiled_body(carry, _):
+                T, qt, p_bucket = carry
+                p = se3_apply(T, src_xyz)
+                disp2 = jnp.max(jnp.where(
+                    src_mask, jnp.sum((p - p_bucket) ** 2, -1), 0.0))
+
+                def rebucket(_):
+                    return build_compact_tiles(
+                        p, src_mask, origin, grid_cell, tile_dims,
+                        cap_per_cell, max_tiles), p
+
+                def refresh(_):
+                    return refresh_compact_coords(qt, p), p_bucket
+
+                qt2, pb2 = jax.lax.cond(
+                    disp2 > margin * margin, rebucket, refresh, None)
+                idx, sq = compact_nn_1nn(tgt_tiles, qt2)
+                T_new, rmse, cnt = _gn_from_corr(
+                    p, idx, sq, src_mask, tgt_xyz, tgt_normals, T,
+                    max_corr_dist, huber_delta, damping)
+                return (T_new, qt2, pb2), (rmse, cnt)
+
+            (T, _, _), (rmses, cnts) = jax.lax.scan(
+                tiled_body, (T0, qt0, p0), None, length=iters)
+            return ICPResult(
+                transform=T, rmse=rmses[-1], num_corr=cnts[-1],
+                per_iter_rmse=rmses)
+
+        from mapping_private_tpu.ops.tiled_nn import tiled_nn_for_icp
+
         nn_fn = tiled_nn_for_icp(
             tgt_xyz, tgt_mask, jnp.asarray(tile_origin, jnp.float32),
             grid_cell, tile_dims, cap_per_cell, max_tiles=max_tiles,

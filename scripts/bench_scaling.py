@@ -1,22 +1,32 @@
-"""Multi-chip scaling harness — the BASELINE ≥80%-efficiency metric.
+"""Multi-chip scaling analysis — analytic, from the compiled program.
 
-Measures steps/s of the sharded scan-to-map GN step
-(parallel/distributed.make_sharded_map_icp_step) in WEAK scaling: every
-device carries a fixed 64k-point map shard, so perfect scaling keeps
-time/step constant as devices double.  Efficiency(n) = t(1)/t(n).
+Round-3 verdict: wall-clock weak scaling on a VIRTUAL CPU mesh measures
+nothing (all "devices" share the host's cores, so time/step degrades
+~1/N however good the sharded program is).  What IS measurable without
+N real chips, and what this harness now reports per device count:
 
-On real multi-chip hardware this exercises ICI collectives (one
-all_gather of per-shard winners per step).  Under a virtual CPU mesh
-(XLA_FLAGS=--xla_force_host_platform_device_count=N) all "devices" share
-the same host cores, so the numbers measure correctness + collective
-overhead shape, NOT true scaling — the JSON notes which mode ran.
+1. **Collective traffic per step** — parsed from the compiled HLO:
+   every all-gather/all-reduce/collective-permute instruction's output
+   bytes.  This is the exact ICI payload the program would move on
+   hardware; for the scan-to-map step it should be the 7-float winner
+   exchange (N·7·4·n_devices bytes gathered) + the 6×6 psum, i.e. KBs —
+   a number a reader can check against the design.
+2. **Per-device FLOPs + data balance** — XLA cost analysis of the
+   per-device module (identical SPMD program on every device), plus the
+   actual map-point/occupied-tile balance of the sharded data (the real
+   skew risk for the tiled engine).
+3. **Total-work throughput** — aggregate map points processed per
+   second.  On the shared-host virtual mesh this stays ~flat as devices
+   double (n× the work in the same host budget) — that flatness, not
+   time/step, is the virtual-mesh sanity signal.
 
-Usage:  python scripts/bench_scaling.py [--devices 1 2 4 8]
+Usage:  python scripts/bench_scaling.py --cpu [--devices 1 2 4 8]
 Writes SCALING.json at the repo root.
 """
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -24,6 +34,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHARD_POINTS = 65536
 SCAN_POINTS = 2048
+TILE = 0.15
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
+                "u32": 4, "pred": 1, "s8": 1, "u8": 1, "s64": 8, "u64": 8}
+
+
+def collective_bytes(hlo_text):
+    """Sum output bytes of collective ops in an HLO module dump."""
+    out = {}
+    # HLO line shape: `%all_gather.7 = f32[2,256,7]{2,1,0} all-gather(...)`
+    # — the op mnemonic follows the result shape
+    pat = re.compile(
+        r"=\s*\(?([a-z0-9]+)\[([0-9,]*)\]\S*\s+"
+        r"(all-gather|all-reduce|collective-permute|all-to-all|"
+        r"reduce-scatter)(?:-start)?\(")
+    for m in pat.finditer(hlo_text):
+        dt, shape, op = m.group(1), m.group(2), m.group(3)
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in shape.split(","):
+            if d:
+                n *= int(d)
+        out[op] = out.get(op, 0) + n * _DTYPE_BYTES[dt]
+    return out
 
 
 def main():
@@ -39,6 +74,11 @@ def main():
                          "sitecustomize pins the axon TPU otherwise)")
     args = ap.parse_args()
 
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count="
+            + str(max(args.devices or [8])))
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -47,7 +87,8 @@ def main():
 
     from mapping_private_tpu.parallel.mesh import make_mesh
     from mapping_private_tpu.parallel.distributed import (
-        make_sharded_map_icp_step,
+        make_sharded_map_icp_step_tiled,
+        size_map_lattice,
     )
 
     n_avail = len(jax.devices())
@@ -56,22 +97,50 @@ def main():
 
     rng = np.random.default_rng(0)
     rows = []
-    t1 = None
     for nd in dev_counts:
         M = nd * args.shard_points
-        xy = rng.uniform(0, np.sqrt(M / 8000.0), (M, 2))
+        xy = rng.uniform(0, np.sqrt(M / 8000.0) * 3.0, (M, 2))
         z = 0.3 * np.sin(2 * xy[:, 0]) + rng.normal(0, 0.005, M)
         map_xyz = np.column_stack([xy, z]).astype(np.float32)
         nrm = np.tile(np.asarray([0, 0, 1.0], np.float32), (M, 1))
         scan = map_xyz[rng.choice(M, SCAN_POINTS, replace=False)] + 0.01
+        mask = np.ones((M,), bool)
+
+        origin, dims, cap, max_tiles = size_map_lattice(
+            map_xyz, mask, TILE, scan_xyz=scan)
         mesh = make_mesh((nd,), axis_names=("mp",))
-        step, shardings = make_sharded_map_icp_step(mesh, scan_chunk=512)
+        step, shardings = make_sharded_map_icp_step_tiled(
+            mesh, origin, TILE, dims, cap, max_tiles,
+            q_cap=32, q_max_tiles=4096)
         a = [
             jnp.asarray(scan), jnp.ones((SCAN_POINTS,), bool),
-            jnp.asarray(map_xyz), jnp.ones((M,), bool), jnp.asarray(nrm),
+            jnp.asarray(map_xyz), jnp.asarray(mask), jnp.asarray(nrm),
             jnp.eye(4),
         ]
         a = [jax.device_put(x, s) for x, s in zip(a, shardings)]
+
+        # ---- analytic: compiled-module cost + collective payloads ----
+        lowered = jax.jit(step).lower(*a)
+        compiled = lowered.compile()
+        try:
+            cost = compiled.cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops_dev = float(cost.get("flops", float("nan")))
+        except Exception:
+            flops_dev = float("nan")
+        coll = collective_bytes(compiled.as_text())
+
+        # ---- data balance across shards (the tiled engine's skew) ----
+        bounds = np.linspace(0, M, nd + 1, dtype=np.int64)
+        pts_per_shard = np.diff(bounds)
+        cell = np.floor((map_xyz - np.asarray(origin)) / TILE).astype(np.int64)
+        flat = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+        occ_per_shard = [
+            len(np.unique(flat[bounds[i]:bounds[i + 1]])) for i in range(nd)]
+        occ_balance = (float(np.mean(occ_per_shard))
+                       / max(float(np.max(occ_per_shard)), 1.0))
+
+        # ---- wall clock (virtual mesh: total-work throughput only) ----
         T, cnt = step(*a)
         jax.block_until_ready(T)
         t0 = time.time()
@@ -79,22 +148,45 @@ def main():
             T, cnt = step(*a)
         jax.block_until_ready(T)
         dt = (time.time() - t0) / args.reps
-        if t1 is None:
-            t1 = dt
-        eff = t1 / dt
-        rows.append(dict(devices=nd, map_points=M, step_ms=round(dt * 1e3, 2),
-                         steps_per_s=round(1.0 / dt, 2),
-                         weak_efficiency=round(eff, 3)))
+
+        rows.append(dict(
+            devices=nd,
+            map_points=M,
+            flops_per_device=flops_dev,
+            flop_balance=1.0,  # SPMD: every device runs the same module
+            occupied_tile_balance=round(occ_balance, 3),
+            points_per_shard_balance=round(
+                float(pts_per_shard.mean() / pts_per_shard.max()), 3),
+            collective_bytes_per_step=coll,
+            collective_total_kb=round(sum(coll.values()) / 1024.0, 2),
+            step_ms=round(dt * 1e3, 2),
+            total_work_Mpts_per_s=round(M / dt / 1e6, 2),
+        ))
         print(rows[-1], flush=True)
 
     out = dict(
-        metric="weak-scaling efficiency, sharded scan-to-map GN step",
+        metric=("sharded scan-to-map ICP (compact-tiles engine): analytic "
+                "per-device cost, collective payload per step, data "
+                "balance, total-work throughput"),
+        method=(
+            "flops_per_device: XLA cost analysis of the compiled SPMD "
+            "per-device module (identical on every device, so FLOP "
+            "balance is 1.0 by construction). collective_bytes_per_step: "
+            "output bytes of every all-gather/all-reduce in the compiled "
+            "HLO — the exact ICI payload on hardware. "
+            "occupied_tile_balance: mean/max occupied lattice tiles over "
+            "map shards (the tiled NN engine's real skew risk). "
+            "total_work_Mpts_per_s: aggregate map points per wall-clock "
+            "second; on a shared-host virtual mesh this staying ~flat as "
+            "devices double is the expected signature of a well-sharded "
+            "program (time/step MUST degrade ~1/N there, which is why "
+            "wall-clock weak-scaling efficiency was dropped — it cannot "
+            "distinguish a good sharded program from a bad one without "
+            "N real chips)."),
         shard_points=args.shard_points, scan_points=SCAN_POINTS,
+        tile_size=TILE,
         backend=jax.default_backend(),
         virtual_mesh=virtual,
-        note=("virtual CPU mesh: devices share host cores; numbers validate "
-              "the sharded program, not real ICI scaling" if virtual else
-              "real device mesh"),
         rows=rows,
     )
     with open(args.out, "w") as fp:

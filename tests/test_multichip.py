@@ -169,3 +169,77 @@ class TestShardedMapBigShards:
         xi = -np.linalg.solve(H + 1e-6 * np.eye(6), g)
         T_ref = np.asarray(se3_exp(jnp.asarray(xi, jnp.float32)))
         np.testing.assert_allclose(np.asarray(T_sh), T_ref, atol=2e-4)
+
+    def test_64k_per_shard_tiled_engine_parity(self):
+        """The compact-tiles NN engine inside the sharded map-ICP: 8
+        devices × 65,536 map points/shard, each shard bucketing its own
+        map slice once and running the occupied-tiles stencil engine —
+        the same engine that does 1M×1M in 391 ms single-chip
+        (KERNELS.md) — instead of brute-force distance matrices.  Two GN
+        sweeps must match an exact f64 brute-force reference."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mapping_private_tpu.core.se3 import se3_exp
+        from mapping_private_tpu.parallel.mesh import make_mesh
+        from mapping_private_tpu.parallel.distributed import (
+            make_sharded_map_icp_step_tiled,
+            size_map_lattice,
+        )
+
+        rng = np.random.default_rng(2)
+        M, N = 8 * 65536, 2048
+        xy = rng.uniform(-5, 5, (M, 2))
+        z = 0.3 * np.sin(2.0 * xy[:, 0]) + 0.2 * np.cos(2.5 * xy[:, 1])
+        map_xyz = np.column_stack([xy, z]).astype(np.float32)
+        dzdx = 0.6 * np.cos(2.0 * xy[:, 0])
+        dzdy = -0.5 * np.sin(2.5 * xy[:, 1])
+        nrm = np.column_stack([-dzdx, -dzdy, np.ones(M)])
+        nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(
+            np.float32)
+        T0 = np.asarray(se3_exp(jnp.asarray(
+            [0.02, -0.01, 0.01, 0.008, 0.0, 0.01], jnp.float32)))
+        sel = rng.choice(M, N, replace=False)
+        scan = ((map_xyz[sel] - T0[:3, 3]) @ T0[:3, :3]).astype(np.float32)
+
+        tile = 0.15
+        origin, dims, cap, max_tiles = size_map_lattice(
+            map_xyz, np.ones((M,), bool), tile, scan_xyz=scan)
+        mesh = make_mesh((8,), axis_names=("mp",))
+        step, shardings = make_sharded_map_icp_step_tiled(
+            mesh, origin, tile, dims, cap, max_tiles,
+            q_cap=32, q_max_tiles=4096, sweeps=2)
+        args = [
+            jnp.asarray(scan), jnp.ones((N,), bool),
+            jnp.asarray(map_xyz), jnp.ones((M,), bool), jnp.asarray(nrm),
+            jnp.eye(4),
+        ]
+        args = [jax.device_put(a, s) for a, s in zip(args, shardings)]
+        T_sh, cnt = step(*args)
+        assert int(cnt) == N  # every scan point found a correspondence
+
+        # exact f64 reference: 2 GN sweeps with brute global NN
+        m64 = map_xyz.astype(np.float64)
+        nn64 = nrm.astype(np.float64)
+        T_ref = np.eye(4)
+        for _ in range(2):
+            p = scan.astype(np.float64) @ T_ref[:3, :3].T + T_ref[:3, 3]
+            idx = np.empty(N, np.int64)
+            for a in range(0, N, 256):
+                d2 = (
+                    (p[a:a+256] ** 2).sum(1)[:, None]
+                    + (m64 ** 2).sum(1)[None, :]
+                    - 2.0 * p[a:a+256] @ m64.T
+                )
+                idx[a:a+256] = d2.argmin(1)
+            q, nn_ = m64[idx], nn64[idx]
+            r = np.sum(nn_ * (p - q), axis=1)
+            absr = np.abs(r)
+            w = np.where(absr <= 0.05, 1.0, 0.05 / np.maximum(absr, 1e-12))
+            J = np.concatenate([nn_, np.cross(p, nn_)], axis=1)
+            Jw = J * w[:, None]
+            xi = -np.linalg.solve(
+                J.T @ Jw + 1e-6 * np.eye(6), Jw.T @ r)
+            T_ref = np.asarray(
+                se3_exp(jnp.asarray(xi, jnp.float32))) @ T_ref
+        np.testing.assert_allclose(np.asarray(T_sh), T_ref, atol=2e-4)
