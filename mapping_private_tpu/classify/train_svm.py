@@ -194,11 +194,11 @@ def train_svc_ovo(
     )
 
 
-def predict_ovo(model: OVOSVM, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(M, D) → (labels (M,), votes (M, C)). One kernel matmul total;
-    the per-pair coefficient scatter and the vote tally are both single
-    vectorized scatters (no Python loop over the P = C(C−1)/2 pairs, which
-    at the 63-class corpus is 1,953)."""
+def decision_values_ovo(model: OVOSVM, x: jax.Array) -> jax.Array:
+    """(M, D) → per-pair decision values (M, P) in model.pairs order —
+    the quantity libsvm's svm_predict_values returns (dec > 0 votes for
+    the pair's first class).  Exposed for the train-side oracle parity
+    check against the reference's vendored fork."""
     x = jnp.asarray(x, jnp.float32)
     P, N = len(model.pairs), model.X.shape[0]
     K = rbf_kernel(x, jnp.asarray(model.X), model.gamma)  # (M, N)
@@ -207,7 +207,16 @@ def predict_ovo(model: OVOSVM, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     ok = model.pair_idx >= 0
     rows = np.broadcast_to(np.arange(P)[:, None], model.pair_idx.shape)
     np.add.at(ay, (rows[ok], model.pair_idx[ok]), model.alpha_y[ok])
-    dec = K @ jnp.asarray(ay).T - jnp.asarray(model.rho)[None, :]  # (M, P)
+    return K @ jnp.asarray(ay).T - jnp.asarray(model.rho)[None, :]  # (M, P)
+
+
+def predict_ovo(model: OVOSVM, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(M, D) → (labels (M,), votes (M, C)). One kernel matmul total;
+    the per-pair coefficient scatter and the vote tally are both single
+    vectorized scatters (no Python loop over the P = C(C−1)/2 pairs, which
+    at the 63-class corpus is 1,953)."""
+    x = jnp.asarray(x, jnp.float32)
+    dec = decision_values_ovo(model, x)  # (M, P)
     win = (dec > 0).astype(jnp.int32)  # (M, P)
     pi = jnp.asarray(model.pairs[:, 0])
     pj = jnp.asarray(model.pairs[:, 1])

@@ -1,0 +1,180 @@
+"""Run the hough segmentation evaluation suite → HOUGH_EVAL.md/.json.
+
+The counterpart of running analyze_sequential_hough +
+assemble_statistics_file over segmented PCDs (hough_segmentation's
+measurement workflow): three annotated scenes — one synthetic tabletop
+and two composed from REAL Kinect corpus views — are segmented by both
+engines (sequential hough and segmentation-by-voting), matched against
+ground truth by centroid threshold, and the assembled statistics table
+is written to the repo root.
+
+GT annotations for the real scenes are derived from the scenes' own
+labeled point ranges (the scene composer knows which rows belong to
+which object): cylinder axes by direct algebraic circle fit (Kåsa) on
+the object's own points, cuboid boxes by PCA bounding box — independent
+of the hough pipeline under test.
+
+Usage: python scripts/run_hough_eval.py [--runs 3] [--cpu]
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = "/root/reference/color_feature_classification/demos/data"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _zup(path):
+    from mapping_private_tpu.io import load_pcd_arrays
+
+    a = load_pcd_arrays(path)
+    xyz = np.stack([a["x"], a["z"], -a["y"]], 1).astype(np.float32)
+    return xyz - xyz.min(0)
+
+
+def _kasa_circle(xy):
+    """Algebraic (Kåsa) circle fit — GT annotation tool, not the model
+    under test."""
+    A = np.column_stack([2 * xy[:, 0], 2 * xy[:, 1], np.ones(len(xy))])
+    b = (xy ** 2).sum(1)
+    cx, cy, c = np.linalg.lstsq(A, b, rcond=None)[0]
+    r = float(np.sqrt(c + cx * cx + cy * cy))
+    return np.array([cx, cy]), r
+
+
+def _gt_cylinder(name, pts, size_class):
+    from mapping_private_tpu.models.hough_eval import GroundTruthObject
+
+    c, r = _kasa_circle(pts[:, :2].astype(np.float64))
+    zmin, zmax = float(pts[:, 2].min()), float(pts[:, 2].max())
+    return GroundTruthObject(
+        name=name, kind="cylinder",
+        centroid=np.array([c[0], c[1], 0.5 * (zmin + zmax)]),
+        size_class=size_class, radius=r, height=zmax - zmin)
+
+
+def _gt_cuboid(name, pts, size_class):
+    from mapping_private_tpu.models.hough_eval import GroundTruthObject
+
+    xy = pts[:, :2].astype(np.float64)
+    xyc = xy - xy.mean(0)
+    _, _, vt = np.linalg.svd(xyc, full_matrices=False)
+    proj = xyc @ vt.T
+    lo, hi = proj.min(0), proj.max(0)
+    center_xy = xy.mean(0) + 0.5 * (lo + hi) @ vt
+    zmin, zmax = float(pts[:, 2].min()), float(pts[:, 2].max())
+    ext = np.array([hi[0] - lo[0], hi[1] - lo[1], zmax - zmin])
+    return GroundTruthObject(
+        name=name, kind="cuboid",
+        centroid=np.array([center_xy[0], center_xy[1], 0.5 * (zmin + zmax)]),
+        size_class=size_class, extents=ext, height=zmax - zmin)
+
+
+def build_scenes():
+    """(scene name, points, [GroundTruthObject])."""
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    from test_hough import _tabletop_scene
+
+    scenes = []
+    pts, n_wall, n_cyl = _tabletop_scene()
+    gt_box = _gt_cuboid("synthetic-box", pts[:n_wall], "short")
+    gt_cyl = _gt_cylinder("synthetic-cylinder", pts[n_wall:], "medium")
+    scenes.append(("synthetic-tabletop", pts, [gt_box, gt_cyl]))
+
+    can = _zup(f"{DATA}/obj008/tomato-soup_0000.pcd")
+    cup = _zup(f"{DATA}/obj026/plastic_cup2_0000.pcd")
+    cup = cup + np.float32([0.35, 0, 0])
+    pts2 = np.vstack([can, cup])
+    scenes.append(("real-can+cup", pts2, [
+        _gt_cylinder("tomato-soup", can, "short"),
+        _gt_cylinder("plastic-cup", cup, "short"),
+    ]))
+
+    carton = _zup(f"{DATA}/obj020/hvoll_milch_ap_0000.pcd")
+    carton = carton + np.float32([0.35, 0, 0])
+    pts3 = np.vstack([can, carton])
+    scenes.append(("real-can+carton", pts3, [
+        _gt_cylinder("tomato-soup", can, "short"),
+        _gt_cuboid("milk-carton", carton, "short"),
+    ]))
+    return scenes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from mapping_private_tpu.core import PointCloud
+    from mapping_private_tpu.models.hough_segmentation import (
+        HoughConfig, VotingConfig, hough_segment, segment_by_voting)
+    from mapping_private_tpu.models.hough_eval import (
+        aggregate, evaluate_scene, repeatability, to_markdown)
+
+    scenes = build_scenes()
+    out = {}
+    md_blocks = []
+    for method in ("sequential_hough", "segment_by_voting"):
+        stats, repeat = [], {}
+
+        for scene, pts, gts in scenes:
+            cloud = PointCloud.from_numpy(pts)
+            real = scene.startswith("real")
+
+            def run(seed):
+                key = jax.random.PRNGKey(seed)
+                if method == "sequential_hough":
+                    cfg = HoughConfig(
+                        max_objects=4,
+                        min_inliers=150 if real else 80,
+                        mls_smoothing=real)
+                    return hough_segment(cloud, key, cfg)
+                cfg = VotingConfig(mls_smoothing=real)
+                return segment_by_voting(cloud, key, cfg)[0]
+
+            segs0 = run(0)
+            stats.append(evaluate_scene(scene, segs0, gts))
+            print(method, scene, dataclass_brief(stats[-1]), flush=True)
+            repeat[scene] = repeatability(run, gts, runs=args.runs)
+            print("  repeatability:", repeat[scene], flush=True)
+
+        agg = aggregate(stats)
+        agg["repeatability"] = repeat
+        out[method] = agg
+        md_blocks.append(f"\n\n# Method: {method}\n\n"
+                         + to_markdown(agg, stats, repeat))
+
+    with open(os.path.join(ROOT, "HOUGH_EVAL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    with open(os.path.join(ROOT, "HOUGH_EVAL.md"), "w") as f:
+        f.write(
+            "# HOUGH_EVAL — segmentation quality statistics\n\n"
+            "Harness: models/hough_eval.py (analyze_sequential_hough + "
+            "assemble_statistics_file counterpart).  Scenes: 1 synthetic "
+            "tabletop + 2 composed from real Kinect corpus views with "
+            "per-object GT (Kåsa circle / PCA box annotations from the "
+            "labeled point ranges).  Gated by tests/test_hough_eval.py."
+            + "".join(md_blocks))
+    print(json.dumps({m: {k: v for k, v in a.items()
+                          if k != "size_class_confusion"
+                          and k != "repeatability"}
+                      for m, a in out.items()}, indent=1))
+
+
+def dataclass_brief(s):
+    return (f"gt={s.n_gt} segs={s.n_segments} det={s.n_detected} "
+            f"kind_ok={s.n_kind_correct} fp={s.n_false_pos}")
+
+
+if __name__ == "__main__":
+    main()
