@@ -192,6 +192,57 @@ def tpu_icp_fps(src, tgt, normals):
     return 1.0 / dt, fps_dispatch, np.asarray(Ts), steps_true
 
 
+def tiled_path_rows():
+    """Big-cloud engine drift tracking: a 200k compact-NN and a 200k
+    6-sweep tiled-ICP row for BENCH_HISTORY.jsonl (round-3 verdict: the
+    20k headline alone would let a tiled-path regression ship silently).
+    TPU only — the numbers are meaningless on the CPU fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return []
+    from mapping_private_tpu.ops.tiled_nn import (
+        build_compact_tiles, compact_nn_1nn)
+    from mapping_private_tpu.registration.icp import icp_point_to_plane_tiled
+
+    rng = np.random.default_rng(0)
+    N, tile, cap, MT = 200_000, 0.1, 128, 8192
+    xy = rng.uniform(0, 5.0, (N, 2))
+    z = 0.3 * np.sin(xy[:, 0] * 2) + 0.2 * np.cos(xy[:, 1] * 3) \
+        + rng.normal(0, 0.005, N)
+    tgt = np.column_stack([xy, z]).astype(np.float32)
+    src = (tgt + rng.normal(0, 0.01, tgt.shape)).astype(np.float32)
+    lo = tgt.min(0) - 0.2
+    dims = tuple(int(v) for v in np.ceil((tgt.max(0) + 0.2 - lo) / tile))
+    mask = jnp.ones((N,), bool)
+    tgt_j, src_j = jnp.asarray(tgt), jnp.asarray(src)
+    ct = build_compact_tiles(tgt_j, mask, lo, tile, dims, cap, MT)
+    f_nn = jax.jit(lambda: compact_nn_1nn(
+        ct, build_compact_tiles(src_j, mask, lo, tile, dims, cap, MT)))
+    jax.block_until_ready(f_nn())
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = f_nn()
+    jax.block_until_ready(out)
+    nn_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+    nrm = jnp.tile(jnp.asarray([0., 0., 1.], jnp.float32), (N, 1))
+    r = icp_point_to_plane_tiled(src_j, mask, tgt_j, mask, nrm,
+                                 tile_size=tile, cap_per_cell=cap, iters=6)
+    jax.block_until_ready(r.transform)
+    t0 = time.perf_counter()
+    r = icp_point_to_plane_tiled(src_j, mask, tgt_j, mask, nrm,
+                                 tile_size=tile, cap_per_cell=cap, iters=6)
+    jax.block_until_ready(r.transform)
+    icp_ms = (time.perf_counter() - t0) * 1e3
+    return [
+        {"metric": "tiled_nn_200k", "value": round(nn_ms, 1), "unit": "ms"},
+        {"metric": "tiled_icp6_200k", "value": round(icp_ms, 1),
+         "unit": "ms"},
+    ]
+
+
 def main():
     src, tgt, normals, T_true = make_pair()
 
@@ -239,7 +290,8 @@ def main():
         "per_dispatch_vs_baseline": round(fps_dispatch / ref_fps, 2),
     }
     # perf drift tracking: every run appends to BENCH_HISTORY.jsonl with a
-    # timestamp + git head, so regressions are visible across rounds
+    # timestamp + git head (headline + the big-cloud tiled-path rows),
+    # so regressions are visible across rounds
     try:
         import subprocess
         import time as _time
@@ -249,13 +301,17 @@ def main():
             capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout.strip()
+        rows = [result]
+        if os.environ.get("BENCH_SKIP_TILED") != "1":
+            rows += tiled_path_rows()
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_HISTORY.jsonl"), "a"
         ) as hf:
-            hf.write(json.dumps(
-                {"ts": round(_time.time(), 1), "head": head, **result}
-            ) + "\n")
+            for row in rows:
+                hf.write(json.dumps(
+                    {"ts": round(_time.time(), 1), "head": head, **row}
+                ) + "\n")
     except Exception:
         pass  # history is best-effort; the driver only needs stdout
     print(json.dumps(result))

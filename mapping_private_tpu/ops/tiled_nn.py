@@ -207,6 +207,11 @@ class CompactTiles:
     slot_of: jax.Array     # (D+1,) int32 lattice id → slot (-1 empty)
     slot_of_pt: jax.Array  # (N,) int32 slot per original row (-1 spilled)
     rank_of: jax.Array     # (N,) int32 rank within the tile
+    # scatter plan in SORTED order (refresh_compact_coords's fast path:
+    # TPU scatters serialize on unsorted target indices)
+    sorted_rows: jax.Array  # (N,) int32 original row per sorted position
+    sorted_slot: jax.Array  # (N,) int32 destination slot (spill row = S)
+    sorted_rank: jax.Array  # (N,) int32 destination rank
     origin: jax.Array      # (3,)
     tile_size: jax.Array   # ()
     dims: Tuple[int, int, int] = dataclasses.field(
@@ -223,6 +228,7 @@ def build_compact_tiles(
     dims: Tuple[int, int, int],
     cap: int,
     max_tiles: int,
+    query_only: bool = False,
 ) -> CompactTiles:
     """Bucket points into occupied-tile slots (sorted-run compaction).
 
@@ -258,21 +264,32 @@ def build_compact_tiles(
     s = jnp.where(keep, slot, max_tiles)
     r = jnp.where(keep, rank, 0)
     bx = jnp.zeros((max_tiles + 1, cap, 3), xyz.dtype).at[s, r].set(xyz[order])
-    bvalid = jnp.zeros((max_tiles + 1, cap), bool).at[s, r].set(keep)
-    bidx = jnp.full((max_tiles + 1, cap), -1, jnp.int32).at[s, r].set(
-        jnp.where(keep, order.astype(jnp.int32), -1))
     tile_id = jnp.full((max_tiles + 1,), D, jnp.int32).at[s].set(
         jnp.where(keep, fs, D))
-    slot_of = jnp.full((D + 1,), -1, jnp.int32).at[
-        jnp.where(keep, fs, D)].set(s)
-    slot_of = slot_of.at[D].set(-1)
     slot_of_pt = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.where(live & (slot < max_tiles), slot, -1))
     rank_of = jnp.zeros((n,), jnp.int32).at[order].set(rank)
+    if query_only:
+        # the QUERY side of compact_nn_1nn reads only xyz/tile_id/
+        # slot_of_pt/rank_of — skip the valid/idx/slot_of scatters
+        # (per-sweep query re-bucketing is the tiled-ICP overhead)
+        bvalid = jnp.zeros((max_tiles, cap), bool)
+        bidx = jnp.full((max_tiles, cap), -1, jnp.int32)
+        slot_of = jnp.full((D + 1,), -1, jnp.int32)
+    else:
+        bvalid = jnp.zeros((max_tiles + 1, cap), bool).at[s, r].set(
+            keep)[:max_tiles]
+        bidx = jnp.full((max_tiles + 1, cap), -1, jnp.int32).at[s, r].set(
+            jnp.where(keep, order.astype(jnp.int32), -1))[:max_tiles]
+        slot_of = jnp.full((D + 1,), -1, jnp.int32).at[
+            jnp.where(keep, fs, D)].set(s)
+        slot_of = slot_of.at[D].set(-1)
     return CompactTiles(
-        xyz=jnp.swapaxes(bx[:max_tiles], 1, 2), valid=bvalid[:max_tiles],
-        idx=bidx[:max_tiles], tile_id=tile_id[:max_tiles],
+        xyz=jnp.swapaxes(bx[:max_tiles], 1, 2), valid=bvalid,
+        idx=bidx, tile_id=tile_id[:max_tiles],
         slot_of=slot_of, slot_of_pt=slot_of_pt, rank_of=rank_of,
+        sorted_rows=order.astype(jnp.int32),
+        sorted_slot=s.astype(jnp.int32), sorted_rank=r.astype(jnp.int32),
         origin=o, tile_size=t, dims=dims, cap=cap, max_tiles=max_tiles,
     )
 
@@ -280,18 +297,17 @@ def build_compact_tiles(
 def refresh_compact_coords(ct: CompactTiles, xyz: jax.Array) -> CompactTiles:
     """Re-scatter CURRENT coordinates into an existing slot layout —
     the cheap between-sweeps path of tiled ICP: bucket assignments
-    (argsort-bound) are carried, only the (N,3) coordinate scatter runs.
+    (argsort-bound) are reused, only a gather + SORTED scatter of the
+    (N,3) coordinates runs (the stored sorted scatter plan keeps the
+    destination indices monotone — TPU scatters serialize otherwise).
 
     Exactness shrinks gracefully: a point that moved δ from where it was
     bucketed is still guaranteed its true NN within ``tile_size − δ``
     (the 3³ stencil around the STALE tile covers that ball).  Callers
     re-bucket when accumulated motion exceeds their margin
     (see registration.icp icp_point_to_plane's tiled backend)."""
-    n = xyz.shape[0]
-    keep = (ct.slot_of_pt >= 0) & (ct.rank_of < ct.cap)
-    s = jnp.where(keep, ct.slot_of_pt, ct.max_tiles)
-    r = jnp.where(keep, ct.rank_of, 0)
-    bx = jnp.zeros((ct.max_tiles + 1, ct.cap, 3), xyz.dtype).at[s, r].set(xyz)
+    bx = jnp.zeros((ct.max_tiles + 1, ct.cap, 3), xyz.dtype).at[
+        ct.sorted_slot, ct.sorted_rank].set(xyz[ct.sorted_rows])
     return dataclasses.replace(ct, xyz=jnp.swapaxes(bx[:ct.max_tiles], 1, 2))
 
 
@@ -379,7 +395,7 @@ def tiled_nn_for_icp(
         def nn_fn(p):
             q_tiles = build_compact_tiles(
                 p, jnp.ones((p.shape[0],), bool), origin, tile_size, dims,
-                cap, max_tiles)
+                cap, max_tiles, query_only=True)
             return compact_nn_1nn(tgt_tiles, q_tiles)
 
         return nn_fn

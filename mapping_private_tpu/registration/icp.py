@@ -105,7 +105,7 @@ def _gn_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "nn_backend", "cap_per_cell", "max_corr_dist", "huber_delta", "damping", "grid_cell", "tile_origin", "tile_dims", "max_tiles", "rebucket_margin"),
+    static_argnames=("iters", "nn_backend", "cap_per_cell", "max_corr_dist", "huber_delta", "damping", "grid_cell", "tile_origin", "tile_dims", "max_tiles", "rebucket_sweeps"),
 )
 def icp_point_to_plane(
     src_xyz: jax.Array,
@@ -124,7 +124,7 @@ def icp_point_to_plane(
     tile_origin: Optional[Tuple[float, float, float]] = None,
     tile_dims: Optional[Tuple[int, int, int]] = None,
     max_tiles: int = 0,
-    rebucket_margin: Optional[float] = None,
+    rebucket_sweeps: Optional[int] = None,
 ) -> ICPResult:
     """Align source onto target.  All shapes static.
 
@@ -157,12 +157,16 @@ def icp_point_to_plane(
             )
         if max_tiles > 0:
             # compact occupied-tiles engine with PERSISTENT query buckets:
-            # the map is bucketed once; queries bucket at sweep 0 and the
-            # (argsort-bound) re-bucketing is skipped while accumulated
-            # motion stays under rebucket_margin — only the cheap (N,3)
-            # coordinate re-scatter runs per sweep.  Exactness: a query δ
-            # from where it was bucketed keeps its guaranteed NN radius
-            # tile_size − δ ≥ tile_size − margin (refresh_compact_coords).
+            # the map is bucketed once, and query SLOT ASSIGNMENTS are
+            # rebuilt only at the first ``rebucket_sweeps`` sweeps (the
+            # only ones with large motion); later sweeps re-scatter the
+            # moved coordinates into the carried layout — no per-sweep
+            # argsort.  The assignments are loop INVARIANTS of each scan
+            # segment (closed over, not carried), so XLA keeps the bucket
+            # blocks resident instead of threading ~15 MB through the
+            # loop state.  Exactness: a query δ from where it was last
+            # bucketed keeps its guaranteed NN radius tile_size − δ, and
+            # post-sweep-1 motion is ≪ tile_size.
             from mapping_private_tpu.ops.tiled_nn import (
                 build_compact_tiles,
                 compact_nn_1nn,
@@ -170,41 +174,71 @@ def icp_point_to_plane(
             )
 
             origin = jnp.asarray(tile_origin, jnp.float32)
-            margin = (0.5 * grid_cell if rebucket_margin is None
-                      else rebucket_margin)
             tgt_tiles = build_compact_tiles(
                 tgt_xyz, tgt_mask, origin, grid_cell, tile_dims,
                 cap_per_cell, max_tiles)
 
-            p0 = se3_apply(T0, src_xyz)
-            qt0 = build_compact_tiles(
-                p0, src_mask, origin, grid_cell, tile_dims,
-                cap_per_cell, max_tiles)
-
-            def tiled_body(carry, _):
-                T, qt, p_bucket = carry
-                p = se3_apply(T, src_xyz)
-                disp2 = jnp.max(jnp.where(
-                    src_mask, jnp.sum((p - p_bucket) ** 2, -1), 0.0))
-
-                def rebucket(_):
-                    return build_compact_tiles(
+            if rebucket_sweeps is None:
+                # DEFAULT: re-bucket queries every sweep with the slim
+                # query-only build (xyz/tile_id/slot_of_pt/rank_of
+                # scatters only — the valid/idx/slot_of scatters queries
+                # never read are skipped).  Measured the reliable fast
+                # path on the axon backend; the segmented refresh path
+                # below is opt-in (it loses to the slim build there).
+                def body(T, _):
+                    p = se3_apply(T, src_xyz)
+                    qt = build_compact_tiles(
                         p, src_mask, origin, grid_cell, tile_dims,
-                        cap_per_cell, max_tiles), p
+                        cap_per_cell, max_tiles, query_only=True)
+                    idx, sq = compact_nn_1nn(tgt_tiles, qt)
+                    T_new, rmse, cnt = _gn_from_corr(
+                        p, idx, sq, src_mask, tgt_xyz, tgt_normals, T,
+                        max_corr_dist, huber_delta, damping)
+                    return T_new, (rmse, cnt)
 
-                def refresh(_):
-                    return refresh_compact_coords(qt, p), p_bucket
+                T, (rmses, cnts) = jax.lax.scan(
+                    body, T0, None, length=iters)
+                return ICPResult(
+                    transform=T, rmse=rmses[-1], num_corr=cnts[-1],
+                    per_iter_rmse=rmses)
 
-                qt2, pb2 = jax.lax.cond(
-                    disp2 > margin * margin, rebucket, refresh, None)
-                idx, sq = compact_nn_1nn(tgt_tiles, qt2)
-                T_new, rmse, cnt = _gn_from_corr(
-                    p, idx, sq, src_mask, tgt_xyz, tgt_normals, T,
-                    max_corr_dist, huber_delta, damping)
-                return (T_new, qt2, pb2), (rmse, cnt)
+            n_rebucket = min(max(int(rebucket_sweeps), 1), iters)
 
-            (T, _, _), (rmses, cnts) = jax.lax.scan(
-                tiled_body, (T0, qt0, p0), None, length=iters)
+            # OPT-IN segmented mode (rebucket_sweeps=k): scan over k
+            # uniform segments of j sweeps — ONE traced segment body
+            # (an unrolled python loop doubles the program and trips the
+            # axon compile-payload limit at 1M), with big bucket arrays
+            # as loop invariants, never carries.  When iters isn't
+            # divisible, the trailing padded sweeps are masked no-ops.
+            # CAVEAT: on the tunneled axon backend, inner scans with
+            # trip count > 1 around the refresh kernel hit a TPU runtime
+            # InvalidArgument at the 1M scale — use the default per-sweep
+            # mode there.
+            n_seg = n_rebucket
+            j = -(-iters // n_seg)
+            sweep_ids = jnp.arange(n_seg * j).reshape(n_seg, j)
+
+            def seg_body(T, ids):
+                # bucket at this segment's entry pose
+                qt_assign = build_compact_tiles(
+                    se3_apply(T, src_xyz), src_mask, origin, grid_cell,
+                    tile_dims, cap_per_cell, max_tiles)
+
+                def body(T, k):
+                    p = se3_apply(T, src_xyz)
+                    qt = refresh_compact_coords(qt_assign, p)
+                    idx, sq = compact_nn_1nn(tgt_tiles, qt)
+                    T_new, rmse, cnt = _gn_from_corr(
+                        p, idx, sq, src_mask, tgt_xyz, tgt_normals, T,
+                        max_corr_dist, huber_delta, damping)
+                    T_new = jnp.where(k < iters, T_new, T)
+                    return T_new, (rmse, cnt)
+
+                return jax.lax.scan(body, T, ids)
+
+            T, (rs, cs) = jax.lax.scan(seg_body, T0, sweep_ids)
+            rmses = rs.reshape(-1)[:iters]
+            cnts = cs.reshape(-1)[:iters]
             return ICPResult(
                 transform=T, rmse=rmses[-1], num_corr=cnts[-1],
                 per_iter_rmse=rmses)
