@@ -179,17 +179,17 @@ def icp_point_to_plane(
                 cap_per_cell, max_tiles)
 
             if rebucket_sweeps is None:
-                # DEFAULT: re-bucket queries every sweep with the slim
-                # query-only build (xyz/tile_id/slot_of_pt/rank_of
-                # scatters only — the valid/idx/slot_of scatters queries
-                # never read are skipped).  Measured the reliable fast
-                # path on the axon backend; the segmented refresh path
-                # below is opt-in (it loses to the slim build there).
+                # DEFAULT: re-bucket queries every sweep with a FULL
+                # build.  query_only=True (skipping the valid/idx/slot_of
+                # scatters) is correct and fast standalone, but inside
+                # this scan+GN program it hits a TPU InvalidArgument on
+                # the axon backend at the 1M scale — keep full builds
+                # here until that backend quirk clears.
                 def body(T, _):
                     p = se3_apply(T, src_xyz)
                     qt = build_compact_tiles(
                         p, src_mask, origin, grid_cell, tile_dims,
-                        cap_per_cell, max_tiles, query_only=True)
+                        cap_per_cell, max_tiles)
                     idx, sq = compact_nn_1nn(tgt_tiles, qt)
                     T_new, rmse, cnt = _gn_from_corr(
                         p, idx, sq, src_mask, tgt_xyz, tgt_normals, T,
