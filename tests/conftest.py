@@ -33,3 +33,23 @@ def reference_root():
     if not REFERENCE.exists():
         pytest.skip("reference corpus not available")
     return REFERENCE
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "corpus: heavy raw-corpus harness (feature extraction over many "
+        "PCDs); excluded from the default run — select with -m corpus",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # default suite stays fast (~CLAUDE.md's contract): big-corpus
+    # extraction harnesses run only under `-m corpus` (their protocol is
+    # separately gated over committed features by test_evaluation.py)
+    if config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="corpus harness — run with -m corpus")
+    for item in items:
+        if "corpus" in item.keywords:
+            item.add_marker(skip)

@@ -12,6 +12,7 @@ SHAPE = "/root/reference/color_chlac/demos/shape_data"
 
 
 class TestClassifyHarness:
+    @pytest.mark.corpus
     def test_rate_on_corpus_subset(self):
         """Subspace classification over 6 real objects × 6 views each must
         reach a high resubstitution rate (the reference's calcRate flow)."""
@@ -25,6 +26,7 @@ class TestClassifyHarness:
         assert len(per_obj) == 6
         assert rate > 0.85, f"classification rate too low: {rate}"
 
+    @pytest.mark.corpus
     def test_cli_json(self, capsys):
         from mapping_private_tpu.apps.classify import main
 
