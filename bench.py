@@ -289,6 +289,11 @@ def main():
         "per_dispatch_fps": round(fps_dispatch, 2),
         "per_dispatch_vs_baseline": round(fps_dispatch / ref_fps, 2),
     }
+    # the driver contract is the stdout line — print it BEFORE the
+    # best-effort history rows (the tiled-path rows compile fresh
+    # programs, and the tunneled compile service sometimes takes minutes)
+    print(json.dumps(result), flush=True)
+
     # perf drift tracking: every run appends to BENCH_HISTORY.jsonl with a
     # timestamp + git head (headline + the big-cloud tiled-path rows),
     # so regressions are visible across rounds
@@ -314,7 +319,6 @@ def main():
                 ) + "\n")
     except Exception:
         pass  # history is best-effort; the driver only needs stdout
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

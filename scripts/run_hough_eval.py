@@ -102,6 +102,45 @@ def build_scenes():
         _gt_cylinder("tomato-soup", can, "short"),
         _gt_cuboid("milk-carton", carton, "short"),
     ]))
+
+    # three objects at once — the closest analog of the reference's
+    # multi-object Kinect sequences
+    cup2 = cup + np.float32([0.35, 0, 0])
+    pts4 = np.vstack([can, cup2, carton + np.float32([0.40, 0, 0])])
+    scenes.append(("real-three-objects", pts4, [
+        _gt_cylinder("tomato-soup", can, "short"),
+        _gt_cylinder("plastic-cup", cup2, "short"),
+        _gt_cuboid("milk-carton", carton + np.float32([0.40, 0, 0]),
+                   "short"),
+    ]))
+
+    # synthetic: two cylinders of different radii + a box (feeds the
+    # size-class confusion + cylinder-sizes rows)
+    rng = np.random.default_rng(5)
+    th1 = rng.uniform(0, 2 * np.pi, 1000)
+    c1 = np.column_stack([0.2 + 0.03 * np.cos(th1),
+                          0.2 + 0.03 * np.sin(th1),
+                          rng.uniform(0, 0.30, 1000)])
+    th2 = rng.uniform(0, 2 * np.pi, 2500)
+    c2 = np.column_stack([0.8 + 0.06 * np.cos(th2),
+                          0.55 + 0.06 * np.sin(th2),
+                          rng.uniform(0, 0.60, 2500)])
+    t = rng.uniform(0, 1, 1200)
+    side = rng.integers(0, 4, 1200)
+    bx = np.where(side == 0, 0.45 + t * 0.15,
+         np.where(side == 1, 0.45 + t * 0.15,
+         np.where(side == 2, 0.45, 0.60)))
+    by = np.where(side == 0, 0.85,
+         np.where(side == 1, 0.95,
+         np.where(side == 2, 0.85 + t * 0.10, 0.85 + t * 0.10)))
+    b = np.column_stack([bx, by, rng.uniform(0, 0.20, 1200)])
+    pts5 = np.vstack([c1, c2, b]).astype(np.float32)
+    pts5[:, :2] += rng.normal(0, 0.0015, (len(pts5), 2))
+    scenes.append(("synthetic-two-cylinders+box", pts5, [
+        _gt_cylinder("thin-cylinder", pts5[:1000], "short"),
+        _gt_cylinder("wide-cylinder", pts5[1000:3500], "medium"),
+        _gt_cuboid("box", pts5[3500:], "short"),
+    ]))
     return scenes
 
 
