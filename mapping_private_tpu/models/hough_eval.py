@@ -23,7 +23,6 @@ reference's per-run match table).
 from __future__ import annotations
 
 import dataclasses
-import json
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -63,7 +63,6 @@ def choose_nn_engine(
     n_query: int,
     n_target: int,
     radius: Optional[float],
-    n_cells: Optional[int] = None,
 ) -> str:
     """The dispatch policy, separated out so tests can pin it."""
     if radius is None or n_query * n_target <= BRUTE_PAIR_LIMIT:

@@ -14,7 +14,6 @@ a virtual CPU mesh; on hardware the same code spans a pod slice over ICI.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
