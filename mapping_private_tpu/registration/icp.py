@@ -330,6 +330,29 @@ def icp_point_to_plane(
     )
 
 
+@jax.jit
+def _cloud_bounds(xyz, mask):
+    big = jnp.float32(1e8)
+    lo = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
+    hi = jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0)
+    return lo, hi
+
+
+@jax.jit
+def _occupied_cells(xyz, mask, origin, tile):
+    """Occupied-cell count of a masked cloud on the FINAL lattice —
+    computed ON DEVICE so the tiled sizing wrapper transfers one scalar
+    instead of pulling whole clouds back over the (tunneled) host link.
+    Cells key into a dims-independent 21-bit/axis packing so one
+    compiled program serves every scene."""
+    cell = jnp.floor((xyz - origin) / tile).astype(jnp.int64)
+    key = (cell[:, 0] << 42) | (cell[:, 1] << 21) | cell[:, 2]
+    dead = jnp.int64(1) << 62
+    ks = jnp.sort(jnp.where(mask, key, dead))
+    newrun = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    return jnp.sum((newrun & (ks < dead)).astype(jnp.int32))
+
+
 def icp_point_to_plane_tiled(
     src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals,
     tile_size: float = 0.25, cap_per_cell: int = 256, **kwargs
@@ -340,27 +363,29 @@ def icp_point_to_plane_tiled(
     see ops/tiled_nn.py CompactTiles)."""
     import numpy as np
 
-    t_np = np.asarray(tgt_xyz)[np.asarray(tgt_mask)]
-    s_np = np.asarray(src_xyz)[np.asarray(src_mask)]
-    lo = np.minimum(t_np.min(0), s_np.min(0)) - 2 * tile_size
-    hi = np.maximum(t_np.max(0), s_np.max(0)) + 2 * tile_size
-    dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
-
     # Occupied-tile capacity contract: max_tiles MUST cover every
     # target-occupied tile — a spilled TARGET tile silently vanishes from
     # slot_of and compact_nn_1nn returns a valid-looking *farther*
     # neighbor, not −1.  Only QUERY-side spill degrades safely to
     # no-correspondence.  Size from the union of target and initial
-    # source occupancy (both concrete here) plus 50% margin for source
-    # motion, rounded up to a power of two for compile reuse.
-    def _occ(pts):
-        cell = np.floor((pts - lo) / tile_size).astype(np.int64)
-        return len(np.unique(
-            (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]))
-
-    occ = max(_occ(t_np), _occ(s_np))
+    # source occupancy plus 50% margin for source motion, rounded up to a
+    # power of two for compile reuse.  Stats come off-device as scalars
+    # (at 1M points the previous full-cloud pull cost ~1-2 s/call over
+    # the tunneled link).
+    t = jnp.float32(tile_size)
+    src_j, sm_j = jnp.asarray(src_xyz), jnp.asarray(src_mask)
+    tgt_j, tm_j = jnp.asarray(tgt_xyz), jnp.asarray(tgt_mask)
+    lo_t, hi_t = _cloud_bounds(tgt_j, tm_j)
+    lo_s, hi_s = _cloud_bounds(src_j, sm_j)
+    lo = np.minimum(np.asarray(lo_t), np.asarray(lo_s)) - 2 * tile_size
+    hi = np.maximum(np.asarray(hi_t), np.asarray(hi_s)) + 2 * tile_size
+    dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
+    origin = jnp.asarray(lo, jnp.float32)
+    occ_t = int(_occupied_cells(tgt_j, tm_j, origin, t))
+    occ_s = int(_occupied_cells(src_j, sm_j, origin, t))
+    occ = max(occ_t, occ_s)
     max_tiles = 1 << int(np.ceil(np.log2(max(int(1.5 * occ), 64))))
-    assert max_tiles >= _occ(t_np), "max_tiles must cover target occupancy"
+    assert max_tiles >= occ_t, "max_tiles must cover target occupancy"
     return icp_point_to_plane(
         src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals,
         nn_backend="tiled", grid_cell=tile_size, cap_per_cell=cap_per_cell,
