@@ -41,22 +41,11 @@ BRUTE_PAIR_LIMIT = 1 << 30
 LATTICE_CELL_LIMIT = 1 << 17
 
 
-def _lattice_geometry(pts_list, radius):
-    lo = np.min([p.min(0) for p in pts_list], axis=0) - 2 * radius
-    hi = np.max([p.max(0) for p in pts_list], axis=0) + 2 * radius
+def _lattice_geometry(bounds_list, radius):
+    lo = np.min([b[0] for b in bounds_list], axis=0) - 2 * radius
+    hi = np.max([b[1] for b in bounds_list], axis=0) + 2 * radius
     dims = tuple(int(v) for v in np.ceil((hi - lo) / radius))
     return lo.astype(np.float32), dims
-
-
-def _occupancy(pts, lo, radius, dims):
-    """(occupied cells, max points in one cell) — concrete host counts."""
-    if len(pts) == 0:
-        return 0, 0
-    cell = np.floor((pts - lo) / radius).astype(np.int64)
-    np.clip(cell, 0, np.asarray(dims) - 1, out=cell)
-    flat = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
-    _, counts = np.unique(flat, return_counts=True)
-    return len(counts), int(counts.max())
 
 
 def choose_nn_engine(
@@ -85,24 +74,32 @@ def nn_1nn(
     use it as their tile size — required for engines 'compact'/'lattice'
     and for auto-dispatch past the brute roofline).
     """
-    q_np = np.asarray(query_xyz)
-    t_np = np.asarray(target_xyz)
-    qm_np = np.asarray(query_mask)
-    tm_np = np.asarray(target_mask)
-    n_q, n_t = int(qm_np.sum()), int(tm_np.sum())
+    # scalar transfers only — no full-cloud device→host pulls (12 MB per
+    # 1M points on a tunneled link)
+    query_xyz = jnp.asarray(query_xyz)
+    target_xyz = jnp.asarray(target_xyz)
+    query_mask = jnp.asarray(query_mask)
+    target_mask = jnp.asarray(target_mask)
+    n_q = int(jnp.sum(query_mask))
+    n_t = int(jnp.sum(target_mask))
 
     if engine == "auto":
         engine = choose_nn_engine(n_q, n_t, radius)
     if engine in ("compact", "lattice") and radius is None:
         raise ValueError(f"engine='{engine}' needs a search radius")
     if n_t == 0 or n_q == 0:
-        return (jnp.full((len(q_np),), -1, jnp.int32),
-                jnp.full((len(q_np),), jnp.inf, jnp.float32))
+        n = query_xyz.shape[0]
+        return (jnp.full((n,), -1, jnp.int32),
+                jnp.full((n,), jnp.inf, jnp.float32))
 
     if engine == "brute":
         idx, sq = _brute_1nn(query_xyz, query_mask, target_xyz, target_mask)
     else:
-        lo, dims = _lattice_geometry([t_np[tm_np], q_np[qm_np]], radius)
+        bt = _masked_bounds(target_xyz, target_mask)
+        bq = _masked_bounds(query_xyz, query_mask)
+        lo, dims = _lattice_geometry(
+            [tuple(np.asarray(b) for b in bt),
+             tuple(np.asarray(b) for b in bq)], radius)
         n_cells = dims[0] * dims[1] * dims[2]
         if engine == "lattice" and n_cells > LATTICE_CELL_LIMIT:
             warnings.warn(
@@ -112,7 +109,7 @@ def nn_1nn(
             engine = "compact"
         idx, sq = _tiled_1nn(
             query_xyz, query_mask, target_xyz, target_mask,
-            q_np[qm_np], t_np[tm_np], lo, radius, dims, engine)
+            lo, radius, dims, engine)
 
     if radius is not None:
         out = query_mask & (sq <= np.float32(radius) ** 2)
@@ -139,12 +136,22 @@ def _brute_1nn(query_xyz, query_mask, target_xyz, target_mask):
     return idx[:, 0].astype(jnp.int32), sq[:, 0]
 
 
+@jax.jit
+def _masked_bounds(xyz, mask):
+    big = jnp.float32(1e8)
+    return (jnp.min(jnp.where(mask[:, None], xyz, big), axis=0),
+            jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0))
+
+
 def _tiled_1nn(query_xyz, query_mask, target_xyz, target_mask,
-               q_live, t_live, lo, radius, dims, engine):
+               lo, radius, dims, engine):
     from mapping_private_tpu.ops import tiled_nn
 
-    occ_t, cap_t = _occupancy(t_live, lo, radius, dims)
-    occ_q, cap_q = _occupancy(q_live, lo, radius, dims)
+    dims_j = np.asarray(dims, np.int32)
+    occ_t, cap_t = (int(v) for v in tiled_nn.lattice_occupancy(
+        target_xyz, target_mask, lo, radius, dims_j))
+    occ_q, cap_q = (int(v) for v in tiled_nn.lattice_occupancy(
+        query_xyz, query_mask, lo, radius, dims_j))
     # lane-pad caps; max_tiles MUST cover all target-occupied tiles
     # (target spill is unsafe — see build_compact_tiles), so size it from
     # the larger side's exact occupancy plus margin

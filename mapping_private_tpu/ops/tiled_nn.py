@@ -294,6 +294,33 @@ def build_compact_tiles(
     )
 
 
+@jax.jit
+def lattice_occupancy(xyz: jax.Array, mask: jax.Array, origin, tile, dims):
+    """(occupied-cell count, max points in one cell) on the lattice —
+    device-side, so sizing wrappers transfer two scalars instead of the
+    cloud (a 12 MB device→host pull per 1M points on a tunneled link).
+    ``dims`` rides along as a TRACED (3,) int32 array (one compiled
+    program serves every scene) and keys stay int32 — jax's default
+    int64 is disabled, so bit-packed 64-bit keys would silently
+    truncate."""
+    o = jnp.asarray(origin, jnp.float32)
+    d = jnp.asarray(dims, jnp.int32)
+    cell = jnp.clip(
+        jnp.floor((xyz - o) / tile).astype(jnp.int32),
+        jnp.zeros((3,), jnp.int32), d - 1)
+    key = (cell[:, 0] * d[1] + cell[:, 1]) * d[2] + cell[:, 2]
+    dead = jnp.int32(2 ** 31 - 1)
+    ks = jnp.sort(jnp.where(mask, key, dead))
+    live = ks < dead
+    newrun = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    occ = jnp.sum((newrun & live).astype(jnp.int32))
+    n = xyz.shape[0]
+    first = jnp.searchsorted(ks, ks, side="left")
+    run_len = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32) + 1
+    maxcell = jnp.max(jnp.where(live, run_len, 0))
+    return occ, maxcell
+
+
 def refresh_compact_coords(ct: CompactTiles, xyz: jax.Array) -> CompactTiles:
     """Re-scatter CURRENT coordinates into an existing slot layout —
     the cheap between-sweeps path of tiled ICP: bucket assignments

@@ -338,19 +338,6 @@ def _cloud_bounds(xyz, mask):
     return lo, hi
 
 
-@jax.jit
-def _occupied_cells(xyz, mask, origin, tile):
-    """Occupied-cell count of a masked cloud on the FINAL lattice —
-    computed ON DEVICE so the tiled sizing wrapper transfers one scalar
-    instead of pulling whole clouds back over the (tunneled) host link.
-    Cells key into a dims-independent 21-bit/axis packing so one
-    compiled program serves every scene."""
-    cell = jnp.floor((xyz - origin) / tile).astype(jnp.int64)
-    key = (cell[:, 0] << 42) | (cell[:, 1] << 21) | cell[:, 2]
-    dead = jnp.int64(1) << 62
-    ks = jnp.sort(jnp.where(mask, key, dead))
-    newrun = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
-    return jnp.sum((newrun & (ks < dead)).astype(jnp.int32))
 
 
 def icp_point_to_plane_tiled(
@@ -381,8 +368,11 @@ def icp_point_to_plane_tiled(
     hi = np.maximum(np.asarray(hi_t), np.asarray(hi_s)) + 2 * tile_size
     dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
     origin = jnp.asarray(lo, jnp.float32)
-    occ_t = int(_occupied_cells(tgt_j, tm_j, origin, t))
-    occ_s = int(_occupied_cells(src_j, sm_j, origin, t))
+    from mapping_private_tpu.ops.tiled_nn import lattice_occupancy
+
+    dims_j = np.asarray(dims, np.int32)
+    occ_t = int(lattice_occupancy(tgt_j, tm_j, origin, t, dims_j)[0])
+    occ_s = int(lattice_occupancy(src_j, sm_j, origin, t, dims_j)[0])
     occ = max(occ_t, occ_s)
     max_tiles = 1 << int(np.ceil(np.log2(max(int(1.5 * occ), 64))))
     assert max_tiles >= occ_t, "max_tiles must cover target occupancy"

@@ -98,3 +98,39 @@ class TestPayloadCliff:
         # measured: 43k cells compiled, ~260k cells exceeded the payload
         # limit — the constant must sit between them
         assert 43_740 < LATTICE_CELL_LIMIT < 260_000
+
+
+class TestLatticeOccupancy:
+    def test_matches_numpy(self):
+        """Device-side sizing stats == numpy truth (pins the int32 key
+        arithmetic — jax's default int64-off silently truncates bit-packed
+        64-bit keys, which once made occ read 0 and under-sized
+        max_tiles below target occupancy)."""
+        from mapping_private_tpu.ops.tiled_nn import lattice_occupancy
+
+        rng = np.random.default_rng(3)
+        for extent, radius in [(2.0, 0.3), (6.0, 0.05)]:
+            xy = rng.uniform(0, extent, (4096, 2))
+            z = 0.3 * np.sin(2 * xy[:, 0]) + 0.2 * np.cos(3 * xy[:, 1])
+            pts = np.column_stack([xy, z]).astype(np.float32)
+            mask = np.ones(4096, bool)
+            mask[::7] = False
+            lo = pts[mask].min(0) - 2 * radius
+            hi = pts[mask].max(0) + 2 * radius
+            dims = np.ceil((hi - lo) / radius).astype(np.int32)
+            occ, mx = lattice_occupancy(
+                jnp.asarray(pts), jnp.asarray(mask), lo, radius, dims)
+            cell = np.floor((pts[mask] - lo) / radius).astype(np.int64)
+            key = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+            _, counts = np.unique(key, return_counts=True)
+            assert int(occ) == len(counts)
+            assert int(mx) == int(counts.max())
+
+    def test_all_dead(self):
+        from mapping_private_tpu.ops.tiled_nn import lattice_occupancy
+
+        pts = np.zeros((64, 3), np.float32)
+        occ, mx = lattice_occupancy(
+            jnp.asarray(pts), jnp.zeros(64, bool), np.zeros(3, np.float32),
+            0.1, np.asarray([4, 4, 4], np.int32))
+        assert int(occ) == 0 and int(mx) == 0
