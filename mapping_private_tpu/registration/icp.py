@@ -331,27 +331,11 @@ def icp_point_to_plane(
 
 
 @jax.jit
-def _tiled_sizing(src_xyz, src_mask, tgt_xyz, tgt_mask, tile):
-    """Lattice origin/dims + per-cloud occupancy in ONE device program —
-    a single host round-trip of a few scalars instead of pulling whole
-    clouds (12 MB/1M pts) or chaining multiple blocking transfers over
-    the tunneled link."""
-    from mapping_private_tpu.ops.tiled_nn import lattice_occupancy
-
+def _cloud_bounds(xyz, mask):
     big = jnp.float32(1e8)
-
-    def bounds(xyz, mask):
-        return (jnp.min(jnp.where(mask[:, None], xyz, big), axis=0),
-                jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0))
-
-    lo_s, hi_s = bounds(src_xyz, src_mask)
-    lo_t, hi_t = bounds(tgt_xyz, tgt_mask)
-    lo = jnp.minimum(lo_s, lo_t) - 2.0 * tile
-    hi = jnp.maximum(hi_s, hi_t) + 2.0 * tile
-    dims = jnp.ceil((hi - lo) / tile).astype(jnp.int32)
-    occ_t, _ = lattice_occupancy(tgt_xyz, tgt_mask, lo, tile, dims)
-    occ_s, _ = lattice_occupancy(src_xyz, src_mask, lo, tile, dims)
-    return lo, dims, occ_t, occ_s
+    lo = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
+    hi = jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0)
+    return lo, hi
 
 
 
@@ -376,13 +360,19 @@ def icp_point_to_plane_tiled(
     # (at 1M points the previous full-cloud pull cost ~1-2 s/call over
     # the tunneled link).
     t = jnp.float32(tile_size)
-    lo_d, dims_d, occ_t_d, occ_s_d = _tiled_sizing(
-        jnp.asarray(src_xyz), jnp.asarray(src_mask),
-        jnp.asarray(tgt_xyz), jnp.asarray(tgt_mask), t)
-    lo, dims_a, occ_t, occ_s = jax.device_get(
-        (lo_d, dims_d, occ_t_d, occ_s_d))
-    dims = tuple(int(v) for v in dims_a)
-    occ_t, occ_s = int(occ_t), int(occ_s)
+    src_j, sm_j = jnp.asarray(src_xyz), jnp.asarray(src_mask)
+    tgt_j, tm_j = jnp.asarray(tgt_xyz), jnp.asarray(tgt_mask)
+    lo_t, hi_t = _cloud_bounds(tgt_j, tm_j)
+    lo_s, hi_s = _cloud_bounds(src_j, sm_j)
+    lo = np.minimum(np.asarray(lo_t), np.asarray(lo_s)) - 2 * tile_size
+    hi = np.maximum(np.asarray(hi_t), np.asarray(hi_s)) + 2 * tile_size
+    dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
+    origin = jnp.asarray(lo, jnp.float32)
+    from mapping_private_tpu.ops.tiled_nn import lattice_occupancy
+
+    dims_j = np.asarray(dims, np.int32)
+    occ_t = int(lattice_occupancy(tgt_j, tm_j, origin, t, dims_j)[0])
+    occ_s = int(lattice_occupancy(src_j, sm_j, origin, t, dims_j)[0])
     occ = max(occ_t, occ_s)
     max_tiles = 1 << int(np.ceil(np.log2(max(int(1.5 * occ), 64))))
     assert max_tiles >= occ_t, "max_tiles must cover target occupancy"
