@@ -317,3 +317,55 @@ def test_voxel_downsample_dense_matches_sorted():
     ka, kb = np.lexsort(ax.T), np.lexsort(bx.T)
     np.testing.assert_allclose(ax[ka], bx[kb], atol=1e-5)
     np.testing.assert_allclose(ar[ka], br[kb], atol=1e-5)
+
+
+class TestRefreshCompactCoords:
+    def test_no_motion_equals_rebuild(self):
+        """Refreshing with unchanged coordinates reproduces the build's
+        xyz blocks exactly (the segmented tiled-ICP invariant)."""
+        import jax.numpy as jnp
+        from mapping_private_tpu.ops.tiled_nn import (
+            build_compact_tiles, refresh_compact_coords)
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(0, 2, (4096, 3)).astype(np.float32)
+        mask = np.ones(4096, bool)
+        mask[::5] = False
+        ct = build_compact_tiles(
+            jnp.asarray(pts), jnp.asarray(mask), np.float32([-0.2] * 3),
+            0.25, (10, 10, 10), 64, 512)
+        rf = refresh_compact_coords(ct, jnp.asarray(pts))
+        np.testing.assert_array_equal(np.asarray(rf.xyz), np.asarray(ct.xyz))
+
+    def test_small_motion_keeps_exactness(self):
+        """Moved queries re-scattered into stale slots still find their
+        true NN while motion stays under tile_size (the documented
+        guarantee radius tile_size − δ)."""
+        import jax.numpy as jnp
+        from mapping_private_tpu.ops.tiled_nn import (
+            build_compact_tiles, compact_nn_1nn, refresh_compact_coords)
+
+        rng = np.random.default_rng(1)
+        tgt = rng.uniform(0, 2, (4096, 3)).astype(np.float32)
+        ones = np.ones(4096, bool)
+        lo = np.float32([-0.3] * 3)
+        args = (lo, 0.3, (9, 9, 9), 64, 512)
+        tt = build_compact_tiles(jnp.asarray(tgt), jnp.asarray(ones), *args)
+        q0 = (tgt + 0.002).astype(np.float32)
+        qt = build_compact_tiles(jnp.asarray(q0), jnp.asarray(ones), *args)
+        # move queries by 3 cm (≪ 30 cm tile) WITHOUT re-bucketing
+        q1 = (q0 + np.float32([0.02, -0.015, 0.01])).astype(np.float32)
+        idx, sq = compact_nn_1nn(tt, refresh_compact_coords(qt, jnp.asarray(q1)))
+        idx, sq = np.asarray(idx), np.asarray(sq)
+        ok = idx >= 0
+        assert ok.mean() > 0.99
+        # exact: matches brute-force NN distances
+        d2 = ((q1[ok, None, :] - tgt[None, :, :]) ** 2).sum(-1).min(1) \
+            if False else None
+        chunk = 512
+        best = np.empty(ok.sum())
+        qv = q1[ok]
+        for a in range(0, len(qv), chunk):
+            d2 = ((qv[a:a+chunk, None, :] - tgt[None, :, :]) ** 2).sum(-1)
+            best[a:a+chunk] = d2.min(1)
+        np.testing.assert_allclose(sq[ok], best, atol=1e-5)
