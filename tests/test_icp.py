@@ -69,3 +69,32 @@ def test_ate():
     a = jnp.stack([jnp.eye(4)] * 3)
     b = a.at[:, 0, 3].add(0.1)
     np.testing.assert_allclose(float(ate_rmse(a, b)), 0.1, atol=1e-6)
+
+
+def test_tiled_segmented_matches_default():
+    """The opt-in segmented tiled path (rebucket_sweeps=k: bucket twice,
+    refresh coordinates in between) converges to the same pose as the
+    default per-sweep-rebucket path — sub-tile motion keeps the stale
+    slot assignments exact (refresh_compact_coords guarantee)."""
+    from mapping_private_tpu.registration.icp import icp_point_to_plane_tiled
+
+    xyz = _bumpy_surface(seed=3, n=4000)
+    tgt = PointCloud.from_numpy(xyz)
+    tgt = estimate_normals(tgt, k=12, viewpoint=jnp.array([0.0, 0.0, 10.0]))
+    xi = jnp.asarray(np.array([0.02, -0.02, 0.015, 0.01, -0.01, 0.02],
+                              np.float32))
+    src_xyz = se3_apply(se3_inverse(se3_exp(xi)), tgt.padded_xyz())
+
+    kw = dict(tile_size=0.25, cap_per_cell=256, iters=8)
+    res_d = icp_point_to_plane_tiled(
+        src_xyz, tgt.mask, tgt.padded_xyz(), tgt.mask,
+        tgt.channel("normal"), **kw)
+    res_s = icp_point_to_plane_tiled(
+        src_xyz, tgt.mask, tgt.padded_xyz(), tgt.mask,
+        tgt.channel("normal"), rebucket_sweeps=2, **kw)
+    # both recover the true pose; trajectories agree closely
+    np.testing.assert_allclose(
+        np.asarray(res_s.transform), np.asarray(res_d.transform), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res_d.transform), np.asarray(se3_exp(xi)), atol=2e-3)
+    assert int(res_s.num_corr) > 3500
