@@ -185,8 +185,9 @@ def tpu_icp_fps(src, tgt, normals):
     reps1 = 50
     t0 = time.perf_counter()
     for _ in range(reps1):
-        T1 = one_pair(scans_j[0], nrms_j[0], scans_j[1])
-    T1.block_until_ready()
+        # block INSIDE the loop: async dispatch would otherwise pipeline
+        # the reps and collapse this back into chained throughput
+        one_pair(scans_j[0], nrms_j[0], scans_j[1]).block_until_ready()
     fps_dispatch = reps1 / (time.perf_counter() - t0)
 
     return 1.0 / dt, fps_dispatch, np.asarray(Ts), steps_true
@@ -306,17 +307,21 @@ def main():
             capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout.strip()
-        rows = [result]
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_HISTORY.jsonl")
+
+        def append(rows):
+            with open(hist, "a") as hf:
+                for row in rows:
+                    hf.write(json.dumps(
+                        {"ts": round(_time.time(), 1), "head": head, **row}
+                    ) + "\n")
+
+        # headline row lands FIRST so a failure in the (fresh-compile-
+        # heavy) tiled benchmark can't drop it
+        append([result])
         if os.environ.get("BENCH_SKIP_TILED") != "1":
-            rows += tiled_path_rows()
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_HISTORY.jsonl"), "a"
-        ) as hf:
-            for row in rows:
-                hf.write(json.dumps(
-                    {"ts": round(_time.time(), 1), "head": head, **row}
-                ) + "\n")
+            append(tiled_path_rows())
     except Exception:
         pass  # history is best-effort; the driver only needs stdout
 

@@ -80,14 +80,17 @@ def nn_1nn(
     target_xyz = jnp.asarray(target_xyz)
     query_mask = jnp.asarray(query_mask)
     target_mask = jnp.asarray(target_mask)
-    n_q = int(jnp.sum(query_mask))
     n_t = int(jnp.sum(target_mask))
 
     if engine == "auto":
-        engine = choose_nn_engine(n_q, n_t, radius)
+        # dispatch on CAPACITIES (free, static): brute-force cost is
+        # padded N×M whatever the masks say — a sparse 1M-capacity cloud
+        # dispatched by live counts would run the full padded matrix
+        engine = choose_nn_engine(
+            query_xyz.shape[0], target_xyz.shape[0], radius)
     if engine in ("compact", "lattice") and radius is None:
         raise ValueError(f"engine='{engine}' needs a search radius")
-    if n_t == 0 or n_q == 0:
+    if n_t == 0 or int(jnp.sum(query_mask)) == 0:
         n = query_xyz.shape[0]
         return (jnp.full((n,), -1, jnp.int32),
                 jnp.full((n,), jnp.inf, jnp.float32))
@@ -95,8 +98,10 @@ def nn_1nn(
     if engine == "brute":
         idx, sq = _brute_1nn(query_xyz, query_mask, target_xyz, target_mask)
     else:
-        bt = _masked_bounds(target_xyz, target_mask)
-        bq = _masked_bounds(query_xyz, query_mask)
+        from mapping_private_tpu.ops.tiled_nn import masked_bounds
+
+        bt = masked_bounds(target_xyz, target_mask)
+        bq = masked_bounds(query_xyz, query_mask)
         lo, dims = _lattice_geometry(
             [tuple(np.asarray(b) for b in bt),
              tuple(np.asarray(b) for b in bq)], radius)
@@ -136,13 +141,6 @@ def _brute_1nn(query_xyz, query_mask, target_xyz, target_mask):
     return idx[:, 0].astype(jnp.int32), sq[:, 0]
 
 
-@jax.jit
-def _masked_bounds(xyz, mask):
-    big = jnp.float32(1e8)
-    return (jnp.min(jnp.where(mask[:, None], xyz, big), axis=0),
-            jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0))
-
-
 def _tiled_1nn(query_xyz, query_mask, target_xyz, target_mask,
                lo, radius, dims, engine):
     from mapping_private_tpu.ops import tiled_nn
@@ -162,7 +160,8 @@ def _tiled_1nn(query_xyz, query_mask, target_xyz, target_mask,
         tgt = tiled_nn.build_compact_tiles(
             target_xyz, target_mask, lo, radius, dims, cap_t, mt)
         qry = tiled_nn.build_compact_tiles(
-            query_xyz, query_mask, lo, radius, dims, cap_q, mt)
+            query_xyz, query_mask, lo, radius, dims, cap_q, mt,
+            query_only=True)
         return tiled_nn.compact_nn_1nn(tgt, qry)
     tgt = tiled_nn.build_tiles(target_xyz, target_mask, lo, radius, dims, cap_t)
     qry = tiled_nn.build_tiles(query_xyz, query_mask, lo, radius, dims, cap_q)

@@ -295,6 +295,16 @@ def build_compact_tiles(
 
 
 @jax.jit
+def masked_bounds(xyz: jax.Array, mask: jax.Array):
+    """(lo (3,), hi (3,)) of the live points — the shared device-side
+    bounds helper for host wrappers that size lattices (scalar transfer
+    instead of pulling the cloud)."""
+    big = jnp.float32(1e8)
+    return (jnp.min(jnp.where(mask[:, None], xyz, big), axis=0),
+            jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0))
+
+
+@jax.jit
 def lattice_occupancy(xyz: jax.Array, mask: jax.Array, origin, tile, dims):
     """(occupied-cell count, max points in one cell) on the lattice —
     device-side, so sizing wrappers transfer two scalars instead of the

@@ -195,7 +195,10 @@ def size_map_lattice(
 
     pts = [np.asarray(map_xyz)[np.asarray(map_mask)]]
     if scan_xyz is not None:
-        pts.append(np.asarray(scan_xyz))
+        s = np.asarray(scan_xyz)
+        # drop PAD_COORD sentinel rows of padded scans — one stray +1e8
+        # row would blow the lattice bounds (and the D+1 slot_of alloc)
+        pts.append(s[np.all(np.abs(s) < 1e7, axis=1)])
     lo = np.min([p.min(0) for p in pts], axis=0) - 2 * tile_size
     hi = np.max([p.max(0) for p in pts], axis=0) + 2 * tile_size
     dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))

@@ -330,16 +330,6 @@ def icp_point_to_plane(
     )
 
 
-@jax.jit
-def _cloud_bounds(xyz, mask):
-    big = jnp.float32(1e8)
-    lo = jnp.min(jnp.where(mask[:, None], xyz, big), axis=0)
-    hi = jnp.max(jnp.where(mask[:, None], xyz, -big), axis=0)
-    return lo, hi
-
-
-
-
 def icp_point_to_plane_tiled(
     src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals,
     tile_size: float = 0.25, cap_per_cell: int = 256, **kwargs
@@ -359,26 +349,33 @@ def icp_point_to_plane_tiled(
     # power of two for compile reuse.  Stats come off-device as scalars
     # (at 1M points the previous full-cloud pull cost ~1-2 s/call over
     # the tunneled link).
+    from mapping_private_tpu.ops.tiled_nn import (
+        lattice_occupancy, masked_bounds)
+
     t = jnp.float32(tile_size)
     src_j, sm_j = jnp.asarray(src_xyz), jnp.asarray(src_mask)
     tgt_j, tm_j = jnp.asarray(tgt_xyz), jnp.asarray(tgt_mask)
-    lo_t, hi_t = _cloud_bounds(tgt_j, tm_j)
-    lo_s, hi_s = _cloud_bounds(src_j, sm_j)
+    lo_t, hi_t = masked_bounds(tgt_j, tm_j)
+    lo_s, hi_s = masked_bounds(src_j, sm_j)
     lo = np.minimum(np.asarray(lo_t), np.asarray(lo_s)) - 2 * tile_size
     hi = np.maximum(np.asarray(hi_t), np.asarray(hi_s)) + 2 * tile_size
     dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
     origin = jnp.asarray(lo, jnp.float32)
-    from mapping_private_tpu.ops.tiled_nn import lattice_occupancy
-
     dims_j = np.asarray(dims, np.int32)
-    occ_t = int(lattice_occupancy(tgt_j, tm_j, origin, t, dims_j)[0])
+    occ_t, maxcell_t = (
+        int(v) for v in lattice_occupancy(tgt_j, tm_j, origin, t, dims_j))
     occ_s = int(lattice_occupancy(src_j, sm_j, origin, t, dims_j)[0])
     occ = max(occ_t, occ_s)
     max_tiles = 1 << int(np.ceil(np.log2(max(int(1.5 * occ), 64))))
     assert max_tiles >= occ_t, "max_tiles must cover target occupancy"
+    # the per-cell cap carries the same target-side contract as
+    # max_tiles: a target point dropped by rank >= cap yields a
+    # valid-looking farther neighbor, not -1 — raise cap (lane-padded to
+    # a 128 multiple) to cover the densest target cell
+    cap = max(cap_per_cell, -(-maxcell_t // 128) * 128)
     return icp_point_to_plane(
         src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals,
-        nn_backend="tiled", grid_cell=tile_size, cap_per_cell=cap_per_cell,
+        nn_backend="tiled", grid_cell=tile_size, cap_per_cell=cap,
         tile_origin=tuple(float(v) for v in lo), tile_dims=dims,
         max_tiles=max_tiles, **kwargs
     )

@@ -104,14 +104,15 @@ def build_scenes():
     ]))
 
     # three objects at once — the closest analog of the reference's
-    # multi-object Kinect sequences
-    cup2 = cup + np.float32([0.35, 0, 0])
-    pts4 = np.vstack([can, cup2, carton + np.float32([0.40, 0, 0])])
+    # multi-object Kinect sequences.  cup/carton are already +0.35 from
+    # their two-object scenes, so the extra shifts land the bases at
+    # 0 / 0.35 / 0.75 m (non-overlapping, ~25 cm clearances)
+    carton2 = carton + np.float32([0.40, 0, 0])
+    pts4 = np.vstack([can, cup, carton2])
     scenes.append(("real-three-objects", pts4, [
         _gt_cylinder("tomato-soup", can, "short"),
-        _gt_cylinder("plastic-cup", cup2, "short"),
-        _gt_cuboid("milk-carton", carton + np.float32([0.40, 0, 0]),
-                   "short"),
+        _gt_cylinder("plastic-cup", cup, "short"),
+        _gt_cuboid("milk-carton", carton2, "short"),
     ]))
 
     # synthetic: two cylinders of different radii + a box (feeds the

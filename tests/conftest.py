@@ -45,9 +45,10 @@ def pytest_configure(config):
 
 def pytest_collection_modifyitems(config, items):
     # default suite stays fast (~CLAUDE.md's contract): big-corpus
-    # extraction harnesses run only under `-m corpus` (their protocol is
-    # separately gated over committed features by test_evaluation.py)
-    if config.getoption("-m"):
+    # extraction harnesses run only when the -m expression mentions the
+    # corpus marker (an unrelated filter like -m "not slow" must not
+    # accidentally pull the multi-minute harnesses back in)
+    if "corpus" in (config.getoption("-m") or ""):
         return
     skip = pytest.mark.skip(reason="corpus harness — run with -m corpus")
     for item in items:

@@ -359,9 +359,7 @@ class TestRefreshCompactCoords:
         idx, sq = np.asarray(idx), np.asarray(sq)
         ok = idx >= 0
         assert ok.mean() > 0.99
-        # exact: matches brute-force NN distances
-        d2 = ((q1[ok, None, :] - tgt[None, :, :]) ** 2).sum(-1).min(1) \
-            if False else None
+        # exact: matches brute-force NN distances (chunked)
         chunk = 512
         best = np.empty(ok.sum())
         qv = q1[ok]
