@@ -1,8 +1,10 @@
 """Batch PCD utility CLI — the hough workflows' cloud-preparation tools.
 
 Counterpart of the reference's three batch utilities:
-- ``rot_trans_scale.cpp:1-584`` — rigid transform (x y z roll pitch yaw),
-  uniform scale, and multi-cloud merge over PCD lists;
+- ``rot_trans_scale.cpp:1-584`` — rigid transform (x y z roll pitch yaw)
+  and multi-cloud merge over PCD lists (``--scale`` is an added
+  convenience, NOT in the reference tool: points map to
+  scale*R@x + t, i.e. the translation is applied after scaling);
 - ``cloud_operations.cpp:1-220`` — the same transform core as a one-shot
   tool;
 - ``process_clouds.cpp:1-829`` — pass-through band filters, statistical

@@ -98,13 +98,15 @@ def nn_1nn(
     if engine == "brute":
         idx, sq = _brute_1nn(query_xyz, query_mask, target_xyz, target_mask)
     else:
-        from mapping_private_tpu.ops.tiled_nn import masked_bounds
+        from mapping_private_tpu.ops.tiled_nn import (
+            check_lattice_dims, masked_bounds)
 
         bt = masked_bounds(target_xyz, target_mask)
         bq = masked_bounds(query_xyz, query_mask)
         lo, dims = _lattice_geometry(
             [tuple(np.asarray(b) for b in bt),
              tuple(np.asarray(b) for b in bq)], radius)
+        check_lattice_dims(dims, radius)
         n_cells = dims[0] * dims[1] * dims[2]
         if engine == "lattice" and n_cells > LATTICE_CELL_LIMIT:
             warnings.warn(

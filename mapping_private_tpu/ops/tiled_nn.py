@@ -294,6 +294,31 @@ def build_compact_tiles(
     )
 
 
+def check_lattice_dims(dims, radius) -> None:
+    """Guard every host-side lattice sizing against int32 key overflow.
+
+    build_compact_tiles / lattice_occupancy compute flat int32 cell keys
+    and allocate a (n_cells+1,) slot_of table; dims whose product nears
+    2**31 wrap the keys (garbage occupancy → under-sized max_tiles →
+    silently FARTHER neighbors) or hit a multi-GB allocation with no
+    clear error.  Call from every wrapper that turns concrete bounds
+    into a lattice (nn_1nn, icp_point_to_plane_tiled, size_map_lattice).
+    """
+    n_cells = int(dims[0]) * int(dims[1]) * int(dims[2])
+    if n_cells >= 2 ** 31:
+        raise ValueError(
+            f"tile lattice {tuple(int(d) for d in dims)} has {n_cells} "
+            f"cells >= 2**31: int32 flat cell keys would wrap (silent "
+            f"wrong neighbors). Increase the search radius/tile size "
+            f"(currently {float(radius)}) or crop the cloud extent.")
+    if n_cells > 1 << 28:  # slot_of alone > 1 GiB int32
+        raise ValueError(
+            f"tile lattice {tuple(int(d) for d in dims)} has {n_cells} "
+            f"cells (> 2**28): the (n_cells+1,) slot lookup table would "
+            f"exceed 1 GiB. Increase the search radius/tile size "
+            f"(currently {float(radius)}) or crop the cloud extent.")
+
+
 @jax.jit
 def masked_bounds(xyz: jax.Array, mask: jax.Array):
     """(lo (3,), hi (3,)) of the live points — the shared device-side

@@ -202,6 +202,8 @@ def size_map_lattice(
     lo = np.min([p.min(0) for p in pts], axis=0) - 2 * tile_size
     hi = np.max([p.max(0) for p in pts], axis=0) + 2 * tile_size
     dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
+    from mapping_private_tpu.ops.tiled_nn import check_lattice_dims
+    check_lattice_dims(dims, tile_size)
     cell = np.floor((pts[0] - lo) / tile_size).astype(np.int64)
     flat = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
     _, counts = np.unique(flat, return_counts=True)

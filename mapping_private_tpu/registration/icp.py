@@ -157,11 +157,11 @@ def icp_point_to_plane(
             )
         if max_tiles > 0:
             # compact occupied-tiles engine with PERSISTENT query buckets:
-            # the map is bucketed once, and query SLOT ASSIGNMENTS are
-            # rebuilt only at the first ``rebucket_sweeps`` sweeps (the
-            # only ones with large motion); later sweeps re-scatter the
-            # moved coordinates into the carried layout — no per-sweep
-            # argsort.  The assignments are loop INVARIANTS of each scan
+            # the map is bucketed once; with ``rebucket_sweeps=k`` the
+            # query SLOT ASSIGNMENTS are rebuilt only at the entry of k
+            # uniform segments (sweeps 0, j, 2j, … with j = ceil(iters/k));
+            # the other sweeps of each segment re-scatter the moved
+            # coordinates into the carried layout — no per-sweep argsort.  The assignments are loop INVARIANTS of each scan
             # segment (closed over, not carried), so XLA keeps the bucket
             # blocks resident instead of threading ~15 MB through the
             # loop state.  Exactness: a query δ from where it was last
@@ -350,7 +350,7 @@ def icp_point_to_plane_tiled(
     # (at 1M points the previous full-cloud pull cost ~1-2 s/call over
     # the tunneled link).
     from mapping_private_tpu.ops.tiled_nn import (
-        lattice_occupancy, masked_bounds)
+        check_lattice_dims, lattice_occupancy, masked_bounds)
 
     t = jnp.float32(tile_size)
     src_j, sm_j = jnp.asarray(src_xyz), jnp.asarray(src_mask)
@@ -360,6 +360,7 @@ def icp_point_to_plane_tiled(
     lo = np.minimum(np.asarray(lo_t), np.asarray(lo_s)) - 2 * tile_size
     hi = np.maximum(np.asarray(hi_t), np.asarray(hi_s)) + 2 * tile_size
     dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
+    check_lattice_dims(dims, tile_size)
     origin = jnp.asarray(lo, jnp.float32)
     dims_j = np.asarray(dims, np.int32)
     occ_t, maxcell_t = (

@@ -43,21 +43,35 @@ _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
 def collective_bytes(hlo_text):
     """Sum output bytes of collective ops in an HLO module dump."""
     out = {}
-    # HLO line shape: `%all_gather.7 = f32[2,256,7]{2,1,0} all-gather(...)`
-    # — the op mnemonic follows the result shape
+    # HLO line shapes:
+    #   `%all_gather.7 = f32[2,256,7]{2,1,0} all-gather(...)`       (sync)
+    #   `%ag = (f32[256], f32[2,256]) all-gather-start(...)`        (async)
+    # — capture the WHOLE result (scalar or tuple) before the mnemonic,
+    # then sum every dtype[shape] element in it.  Async -start results
+    # are (operand, result) pairs: count only the LAST element (the
+    # result buffer) to avoid double-counting the operand; the matching
+    # -done op aliases the same buffer and is skipped entirely.
     pat = re.compile(
-        r"=\s*\(?([a-z0-9]+)\[([0-9,]*)\]\S*\s+"
+        r"=\s*(\([^)]*\)|[a-z0-9]+\[[0-9,]*\]\S*)\s+"
         r"(all-gather|all-reduce|collective-permute|all-to-all|"
-        r"reduce-scatter)(?:-start)?\(")
+        r"reduce-scatter)(-start)?\(")
+    elem = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
     for m in pat.finditer(hlo_text):
-        dt, shape, op = m.group(1), m.group(2), m.group(3)
-        if dt not in _DTYPE_BYTES:
+        result, op, is_start = m.group(1), m.group(2), m.group(3)
+        elems = [(dt, shape) for dt, shape in elem.findall(result)
+                 if dt in _DTYPE_BYTES]
+        if not elems:
             continue
-        n = 1
-        for d in shape.split(","):
-            if d:
-                n *= int(d)
-        out[op] = out.get(op, 0) + n * _DTYPE_BYTES[dt]
+        if is_start and len(elems) >= 2:
+            elems = elems[-1:]
+        total = 0
+        for dt, shape in elems:
+            n = 1
+            for d in shape.split(","):
+                if d:
+                    n *= int(d)
+            total += n * _DTYPE_BYTES[dt]
+        out[op] = out.get(op, 0) + total
     return out
 
 
