@@ -37,16 +37,50 @@ def _grid(cloud, dims=None):
                     channels=("r", "g", "b")), mn, dims
 
 
-def learn_scene(pcds, out_path, block_size, dim):
+def learn_threshold(pcds, out_path=None):
+    """Learn the scene's RGB binarization thresholds — counterpart of the
+    reference calc_scene_auto_threshold executable (writes the same
+    ``r g b\\n`` color_threshold.txt the other tools read back via
+    Param::readColorThreshold, param.cpp:144-150)."""
+    from mapping_private_tpu.io.pcd import load_pcd
+    from mapping_private_tpu.features import calc_scene_auto_threshold
+
+    grids = (_grid(load_pcd(p))[0] for p in pcds)
+    thr = calc_scene_auto_threshold(grids)
+    if out_path:
+        with open(out_path, "w") as fp:
+            fp.write("%d %d %d\n" % thr)
+    return thr
+
+
+def read_color_threshold(path) -> tuple:
+    """Read a color_threshold.txt written by learn_threshold (or by the
+    reference tool — same format, param.cpp:144-150)."""
+    with open(path) as fp:
+        r, g, b = (int(v) for v in fp.read().split()[:3])
+    for v in (r, g, b):
+        if not 0 <= v <= 254:
+            raise ValueError(f"invalid RGB threshold in {path}: {(r, g, b)}")
+    return (r, g, b)
+
+
+def _thresholds(color_threshold_path):
+    if color_threshold_path is None:
+        return (127, 127, 127)
+    return read_color_threshold(color_threshold_path)
+
+
+def learn_scene(pcds, out_path, block_size, dim, color_threshold=None):
     import jax.numpy as jnp
     from mapping_private_tpu.io.pcd import load_pcd
     from mapping_private_tpu.features import colorchlac117_subdiv
     from mapping_private_tpu.recognition import pca_fit, write_pca
 
+    thr = _thresholds(color_threshold)
     feats = []
     for p in pcds:
         grid, _, _ = _grid(load_pcd(p))
-        f = np.asarray(colorchlac117_subdiv(grid, block_size))
+        f = np.asarray(colorchlac117_subdiv(grid, block_size, thresholds=thr))
         feats.append(f.reshape(-1, f.shape[-1]))
     allf = np.concatenate(feats)
     allf = allf[np.linalg.norm(allf, axis=1) > 1e-6]  # occupied subdivisions
@@ -55,23 +89,25 @@ def learn_scene(pcds, out_path, block_size, dim):
     return pca
 
 
-def learn_object(pcds, out_path, dim_model):
+def learn_object(pcds, out_path, dim_model, color_threshold=None):
     import jax.numpy as jnp
     from mapping_private_tpu.io.pcd import load_pcd
     from mapping_private_tpu.features import colorchlac117
     from mapping_private_tpu.recognition import pca_fit, write_pca
 
+    thr = _thresholds(color_threshold)
     feats = []
     for p in pcds:
         grid, _, _ = _grid(load_pcd(p))
-        feats.append(np.asarray(colorchlac117(grid)))
+        feats.append(np.asarray(colorchlac117(grid, thresholds=thr)))
     pca = pca_fit(jnp.asarray(np.stack(feats)))
     write_pca(out_path, pca)
     return pca
 
 
 def detect(scene_pcd, object_pca_path, ranges, block_size, dim, dim_model,
-           scene_pca_path=None, rank_num=5, exist_threshold=10.0):
+           scene_pca_path=None, rank_num=5, exist_threshold=10.0,
+           color_threshold=None):
     import jax.numpy as jnp
     from mapping_private_tpu.io.pcd import load_pcd
     from mapping_private_tpu.features import (
@@ -83,7 +119,8 @@ def detect(scene_pcd, object_pca_path, ranges, block_size, dim, dim_model,
 
     cloud = load_pcd(scene_pcd)
     grid, origin, dims = _grid(cloud)
-    sub = colorchlac117_subdiv(grid, block_size)
+    sub = colorchlac117_subdiv(
+        grid, block_size, thresholds=_thresholds(color_threshold))
     exist = occupied_count_subdiv(grid, block_size)
     scene_axis = None
     if scene_pca_path:
@@ -116,16 +153,27 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
 
+    lt = sub.add_parser(
+        "learn-threshold",
+        help="learn RGB binarization thresholds from scene PCDs "
+             "(calc_scene_auto_threshold counterpart)")
+    lt.add_argument("pcds", nargs="+")
+    lt.add_argument("--out", default=None,
+                    help="write color_threshold.txt here")
+
     ls = sub.add_parser("learn-scene")
     ls.add_argument("pcds", nargs="+")
     ls.add_argument("--out", required=True)
     ls.add_argument("--block-size", type=int, default=10)
     ls.add_argument("--dim", type=int, default=50)
+    ls.add_argument("--color-threshold", default=None,
+                    help="color_threshold.txt from learn-threshold")
 
     lo = sub.add_parser("learn-object")
     lo.add_argument("pcds", nargs="+")
     lo.add_argument("--out", required=True)
     lo.add_argument("--dim-model", type=int, default=5)
+    lo.add_argument("--color-threshold", default=None)
 
     de = sub.add_parser("detect")
     de.add_argument("scene")
@@ -137,18 +185,47 @@ def main(argv=None) -> int:
     de.add_argument("--dim-model", type=int, default=5)
     de.add_argument("--rank", type=int, default=5)
     de.add_argument("--exist-threshold", type=float, default=10.0)
+    de.add_argument("--color-threshold", default=None)
+
+    vs = sub.add_parser(
+        "variance-show",
+        help="subspace eigenvalue / contribution-rate inspection "
+             "(variance_show counterpart)")
+    vs.add_argument("pca")
+    vs.add_argument("--dim", type=int, default=None)
+    vs.add_argument("-d", "--contrib-dim", type=int, default=None)
+    vs.add_argument("-c", "--contrib-rate", type=float, default=None)
 
     args = ap.parse_args(argv)
-    if args.command == "learn-scene":
-        learn_scene(args.pcds, args.out, args.block_size, args.dim)
+    if args.command == "variance-show":
+        from mapping_private_tpu.recognition import read_pca, variance_report
+
+        out = variance_report(read_pca(args.pca), args.dim,
+                              args.contrib_dim, args.contrib_rate)
+        if args.contrib_dim is not None:
+            print(f"{out:f}")
+        elif args.contrib_rate is not None:
+            print(out)
+        else:
+            for v in out:
+                print(f"{v:f}")
+        return 0
+    if args.command == "learn-threshold":
+        thr = learn_threshold(args.pcds, args.out)
+        print("threshold: %d %d %d" % thr)
+    elif args.command == "learn-scene":
+        learn_scene(args.pcds, args.out, args.block_size, args.dim,
+                    args.color_threshold)
         print(f"scene axis written to {args.out}")
     elif args.command == "learn-object":
-        learn_object(args.pcds, args.out, args.dim_model)
+        learn_object(args.pcds, args.out, args.dim_model,
+                     args.color_threshold)
         print(f"object subspace written to {args.out}")
     else:
         dets = detect(args.scene, args.object_pca, tuple(args.ranges),
                       args.block_size, args.dim, args.dim_model,
-                      args.scene_pca, args.rank, args.exist_threshold)
+                      args.scene_pca, args.rank, args.exist_threshold,
+                      args.color_threshold)
         print(json.dumps(dets))
     return 0
 

@@ -1,9 +1,12 @@
 from mapping_private_tpu.features.colorchlac import (
+    calc_auto_threshold,
+    calc_scene_auto_threshold,
     colorchlac117,
     colorchlac981,
     colorchlac117_subdiv,
     colorchlac981_subdiv,
     occupied_count_subdiv,
+    rgb_voxel_histograms,
     rotate_feature_981,
 )
 from mapping_private_tpu.features.rsd import (
@@ -25,6 +28,9 @@ from mapping_private_tpu.features.extract import (
 )
 
 __all__ = [
+    "calc_auto_threshold",
+    "calc_scene_auto_threshold",
+    "rgb_voxel_histograms",
     "colorchlac117",
     "colorchlac981",
     "colorchlac117_subdiv",

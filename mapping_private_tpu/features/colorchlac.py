@@ -356,3 +356,79 @@ def from_reference_layout_981(feature: jax.Array) -> jax.Array:
     """Inverse of to_reference_layout_981 (import reference artifacts)."""
     inv = np.argsort(_perm_own_to_reference_981())
     return feature[..., jnp.asarray(inv)]
+
+
+# ---------------------------------------------------------------------------
+# RGB binarization-threshold learning
+# (color_voxel_recognition/test/calc_scene_auto_threshold.cpp:60-160)
+# ---------------------------------------------------------------------------
+
+def rgb_voxel_histograms(grid: VoxelGrid) -> jax.Array:
+    """(3, 256) int32 histograms of the occupied voxels' mean RGB.
+
+    The device-side half of the reference's threshold learner
+    (calc_scene_auto_threshold.cpp:92-113): PCL's VoxelGrid centroids
+    become our per-voxel channel means, truncated to integer bins the
+    way PCL's uint8 repack truncates the averaged channels.  One
+    bincount per channel over the flattened grid — no per-point loop.
+    Accumulate across scene sweeps by summing the returned histograms.
+    """
+    occ = grid.occupancy().reshape(-1)
+    hists = []
+    for name in ("r", "g", "b"):
+        q = jnp.clip(grid.mean(name).reshape(-1).astype(jnp.int32), 0, 255)
+        # dead voxels go to an overflow bin that is sliced off
+        q = jnp.where(occ, q, 256)
+        hists.append(jnp.bincount(q, length=257)[:256])
+    return jnp.stack(hists).astype(jnp.int32)
+
+
+def calc_auto_threshold(hist) -> Tuple[int, int, int]:
+    """Per-channel RGB binarization thresholds maximizing the reference's
+    between-class-variance criterion (calc_scene_auto_threshold.cpp:115-152).
+
+    For each channel with histogram h and N = Σh:
+      eachNum[j] = Σ_{k≤j} h[k],  eachAve[j] = Σ_{k≤j} k·h[k] / eachNum[j]
+      var[j] = (eachAve[j] − totalAve)² · eachNum[j] / (N − eachNum[j])
+    and threshold = the first j ∈ [1,255] attaining the strictly-largest
+    var (0 when no split improves on 0 — the reference's max_var=0 /
+    strict-> seed).  The reference's skip (eachNum==0) and break
+    (eachNum==N) are masks here: cumsum is monotone, so everything at or
+    past the break point is masked identically.  256 bins — host numpy.
+    """
+    h = np.asarray(hist, np.float64)
+    j = np.arange(256, dtype=np.float64)
+    out = []
+    for c in range(3):
+        n = h[c].sum()
+        if n == 0:
+            out.append(0)
+            continue
+        total_ave = float((j * h[c]).sum() / n)
+        each_num = np.cumsum(h[c])
+        each_ave = np.where(
+            each_num > 0, np.cumsum(j * h[c]) / np.maximum(each_num, 1), 0.0)
+        valid = (each_num > 0) & (each_num < n)
+        valid[0] = False  # the reference scans j = 1..255
+        var = np.where(
+            valid,
+            (each_ave - total_ave) ** 2
+            * (each_num / np.maximum(n - each_num, 1)),
+            -1.0,
+        )
+        out.append(int(np.argmax(var)) if var.max() > 0 else 0)
+    return tuple(out)
+
+
+def calc_scene_auto_threshold(grids) -> Tuple[int, int, int]:
+    """Learn (r, g, b) binarization thresholds from scene voxel grids —
+    the counterpart of the reference's one-time environment-learning tool
+    (calc_scene_auto_threshold.cpp:53-169, invoked by demos/SH/learn_env.sh).
+    Feed the result as ``thresholds=`` to the colorchlac extractors."""
+    total = None
+    for g in grids:
+        hst = rgb_voxel_histograms(g)
+        total = hst if total is None else total + hst
+    if total is None:
+        raise ValueError("calc_scene_auto_threshold needs >= 1 voxel grid")
+    return calc_auto_threshold(np.asarray(total))

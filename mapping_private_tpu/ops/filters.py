@@ -139,3 +139,20 @@ def channel_equal_mask(
     else:
         ok = jnp.abs(ch - value) <= atol
     return cloud.mask & ok
+
+
+def depth_limit_mask(
+    xyz: jax.Array, mask: jax.Array, distance_th: float,
+    relative: bool = False,
+) -> jax.Array:
+    """Depth-limit filter of the training-capture tool
+    (color_voxel_recognition/test/save_data.cpp:67-83 limitPoint):
+    keep z < distance_th, or — in the tool's RELATIVE MODE used to
+    segment the training object — z < min_live_z + distance_th.  A mask
+    transform, never compaction (jit-stable shapes)."""
+    z = xyz[:, 2]
+    th = jnp.float32(distance_th)
+    if relative:
+        big = jnp.float32(3.4e38)
+        th = jnp.min(jnp.where(mask, z, big)) + th
+    return mask & (z < th)

@@ -145,15 +145,26 @@ def add_hokuyo_line_channel(pcd_path: str, index_channel: str = "index",
 class TriggeredCapture:
     """`msg_to_pcd_joy` analog (cloud_tools/src/msg_to_pcd_joy.cpp): hold
     the latest cloud; `trigger()` (the reference's Wii button B callback)
-    dumps it to a numbered PCD."""
+    dumps it to a numbered PCD.
 
-    def __init__(self, out_dir: str, prefix: str = "capture"):
+    ``distance_th``/``relative`` add the training-capture depth limit of
+    color_voxel_recognition/test/save_data.cpp:67-83,150-158 (relative
+    mode keeps z < min_z + th — the reference's object-segmentation
+    capture); ``last_bbox`` then carries the (min, max) corners the tool
+    publishes as its range marker (setMarker, save_data.cpp:87-115)."""
+
+    def __init__(self, out_dir: str, prefix: str = "capture",
+                 distance_th: "float | None" = None,
+                 relative: bool = False):
         import os
 
         self.out_dir = out_dir
         self.prefix = prefix
         self.counter = 0
         self._latest = None
+        self.distance_th = distance_th
+        self.relative = relative
+        self.last_bbox = None
         os.makedirs(out_dir, exist_ok=True)
 
     def push(self, arrays: Dict[str, Any]) -> None:
@@ -162,12 +173,26 @@ class TriggeredCapture:
     def trigger(self) -> "str | None":
         import os
 
+        import numpy as np
+
         from mapping_private_tpu.io.pcd import save_pcd
 
         if self._latest is None:
             return None
+        arrays = {k: np.asarray(v) for k, v in self._latest.items()}
+        z = (arrays["xyz"][:, 2] if "xyz" in arrays
+             else arrays.get("z"))
+        if self.distance_th is not None and z is not None:
+            th = float(self.distance_th)
+            if self.relative:
+                th += float(z.min())
+            keep = z < th
+            arrays = {k: v[keep] if v.shape[:1] == keep.shape else v
+                      for k, v in arrays.items()}
+        if "xyz" in arrays and len(arrays["xyz"]):
+            self.last_bbox = (arrays["xyz"].min(0), arrays["xyz"].max(0))
         path = os.path.join(self.out_dir,
                             f"{self.prefix}_{self.counter:04d}.pcd")
-        save_pcd(path, self._latest)
+        save_pcd(path, arrays)
         self.counter += 1
         return path

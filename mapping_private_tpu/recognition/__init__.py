@@ -3,6 +3,7 @@ from mapping_private_tpu.recognition.pca import (
     pca_fit,
     subspace_axis,
     read_pca,
+    variance_report,
     write_pca,
 )
 from mapping_private_tpu.recognition.search import (
@@ -18,6 +19,7 @@ __all__ = [
     "pca_fit",
     "subspace_axis",
     "read_pca",
+    "variance_report",
     "write_pca",
     "SceneData",
     "Detection",

@@ -123,3 +123,31 @@ def read_pca(path: str, ascii_fmt: bool = False) -> PCAResult:
     rest = vals[d * d + d :]
     mean = rest[:d].copy() if len(rest) >= d else None
     return PCAResult(axis=axis, variance=variance, mean=mean)
+
+
+def variance_report(
+    pca: PCAResult,
+    dim: "int | None" = None,
+    contrib_dim: "int | None" = None,
+    contrib_rate: "float | None" = None,
+):
+    """Subspace eigenvalue inspection — the `variance_show` tool
+    (color_voxel_recognition/test/variance_show.cpp:49-98).
+
+    - default: the first ``dim`` eigenvalues (the tool prints one per line);
+    - ``contrib_dim=d`` (the tool's -d): the accumulative contribution
+      rate Σ variance[:d] / Σ variance[:dim];
+    - ``contrib_rate=c`` (the tool's -c): the first 0-based index whose
+      accumulative rate reaches ``c`` (``dim`` when never reached).
+    """
+    v = np.maximum(np.asarray(pca.variance, np.float64), 0.0)
+    if dim is None:
+        dim = len(v)
+    v = v[:dim]
+    if contrib_dim is not None:
+        return float(v[:contrib_dim].sum() / max(v.sum(), 1e-300))
+    if contrib_rate is not None:
+        c = np.cumsum(v) / max(v.sum(), 1e-300)
+        hit = np.nonzero(c >= contrib_rate)[0]
+        return int(hit[0]) if len(hit) else dim
+    return v
