@@ -16,8 +16,11 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def write_vtk_mesh(path: str, vertices: np.ndarray, triangles: np.ndarray) -> None:
-    """Legacy VTK ASCII polydata (the triangular_mesh_to_vtk output)."""
+def write_vtk_mesh(path: str, vertices: np.ndarray, triangles: np.ndarray,
+                   scalars: Optional[np.ndarray] = None) -> None:
+    """Legacy VTK ASCII polydata (the triangular_mesh_to_vtk output).
+    ``scalars`` adds the per-vertex POINT_DATA intensity block the
+    cloud_tools viewer reads (me.cpp:160-191)."""
     v = np.asarray(vertices, np.float64)
     t = np.asarray(triangles, np.int64)
     with open(path, "w") as fp:
@@ -29,12 +32,21 @@ def write_vtk_mesh(path: str, vertices: np.ndarray, triangles: np.ndarray) -> No
         fp.write(f"POLYGONS {len(t)} {4 * len(t)}\n")
         for tri in t:
             fp.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")
+        if scalars is not None:
+            s = np.asarray(scalars, np.float64)
+            fp.write(f"POINT_DATA {len(s)}\n")
+            fp.write("SCALARS scalars double\nLOOKUP_TABLE default\n")
+            for val in s:
+                fp.write(f"{val:g}\n")
 
 
-def read_vtk_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Read back a legacy VTK ASCII polydata mesh."""
+def read_vtk_mesh(
+    path: str, with_scalars: bool = False
+):
+    """Read back a legacy VTK ASCII polydata mesh (optionally with the
+    per-vertex POINT_DATA scalars block)."""
     tokens = open(path).read().split()
-    verts = tris = None
+    verts = tris = scalars = None
     i = 0
     while i < len(tokens):
         tk = tokens[i].upper()
@@ -49,10 +61,22 @@ def read_vtk_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
             arr = np.asarray(vals, np.int64).reshape(n, 4)
             tris = arr[:, 1:]
             i += 3 + 4 * n
+        elif tk == "SCALARS":
+            n = len(verts) if verts is not None else 0
+            # skip: SCALARS <name> <type> [comps] LOOKUP_TABLE <name>
+            j = i + 3
+            if tokens[j].upper() == "LOOKUP_TABLE":
+                j += 2
+            elif tokens[j + 1].upper() == "LOOKUP_TABLE":
+                j += 3
+            scalars = np.asarray(tokens[j : j + n], np.float64)
+            i = j + n
         else:
             i += 1
     if verts is None or tris is None:
         raise ValueError(f"{path}: not a polydata mesh")
+    if with_scalars:
+        return verts, tris, scalars
     return verts, tris
 
 
@@ -100,3 +124,50 @@ def virtual_view_depth(
         pose=jnp.asarray(np.asarray(camera_pose, np.float32)),
     )
     return np.asarray(d)
+
+
+def virtual_view_intensity(
+    vertices: np.ndarray,
+    triangles: np.ndarray,
+    intensities: np.ndarray,
+    camera_pose: np.ndarray,
+    image_shape: Tuple[int, int] = (480, 640),
+    fx: float = 525.0,
+    fy: float = 525.0,
+) -> np.ndarray:
+    """Render per-vertex intensities from a virtual camera — the
+    render-to-image half of the cloud_tools mesh viewer (me.cpp:227-302:
+    GL_SMOOTH triangles → framebuffer → PPM), on the TPU rasterizer.
+    Returns (H, W) uint8 (clamped at 255 like the tool's maxval)."""
+    import jax.numpy as jnp
+    from mapping_private_tpu.realtime.render import render_intensity_mesh
+
+    img = render_intensity_mesh(
+        jnp.asarray(np.asarray(vertices, np.float32)),
+        jnp.asarray(np.asarray(triangles, np.int32)),
+        jnp.asarray(np.asarray(intensities, np.float32)),
+        image_shape, fx=fx, fy=fy,
+        pose=jnp.asarray(np.asarray(camera_pose, np.float32)),
+    )
+    return np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+
+
+def write_ppm(path: str, image: np.ndarray) -> None:
+    """ASCII P3 grayscale-as-RGB PPM, the me.cpp image() output format
+    (me.cpp:236-258 — each intensity repeated into r g b)."""
+    img = np.asarray(image)
+    h, w = img.shape
+    with open(path, "w") as fp:
+        fp.write(f"P3\n{w} {h}\n255\n")
+        for row in img:
+            fp.write(" ".join(f"{int(v)} {int(v)} {int(v)}" for v in row))
+            fp.write("\n")
+
+
+def read_ppm(path: str) -> np.ndarray:
+    """Read back an ASCII P3 PPM as (H, W) grayscale (red channel)."""
+    tokens = open(path).read().split()
+    assert tokens[0] == "P3", "not an ASCII PPM"
+    w, h = int(tokens[1]), int(tokens[2])
+    vals = np.asarray(tokens[4 : 4 + 3 * w * h], np.int64).reshape(h, w, 3)
+    return vals[..., 0].astype(np.uint8)

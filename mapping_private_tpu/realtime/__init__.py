@@ -5,7 +5,12 @@ from mapping_private_tpu.realtime.depth import (
     depth_to_cloud,
     background_subtract,
 )
-from mapping_private_tpu.realtime.render import render_depth_mesh
+from mapping_private_tpu.realtime.render import (
+    boxlist_ray_intersection,
+    ray_box_tmin,
+    render_depth_mesh,
+    render_intensity_mesh,
+)
 from mapping_private_tpu.realtime.urdf import (
     RobotModel,
     parse_urdf,
@@ -27,6 +32,9 @@ __all__ = [
     "depth_to_cloud",
     "background_subtract",
     "render_depth_mesh",
+    "render_intensity_mesh",
+    "boxlist_ray_intersection",
+    "ray_box_tmin",
     "RobotModel",
     "parse_urdf",
     "load_stl",

@@ -116,3 +116,114 @@ class TestDepthTriangulation:
         tris, ok = triangulate_depth_image(pts, valid, max_edge=0.05)
         t = np.asarray(tris)[np.asarray(ok)]
         assert 3 * 8 + 3 not in set(t.ravel())
+
+
+class TestIntensityRender:
+    """me.cpp render-to-image residue (round-4 verdict item 10)."""
+
+    def _scene(self):
+        # two triangles at different depths, distinct intensities
+        v = np.array([
+            [-.5, -.5, 2.0], [.5, -.5, 2.0], [0., .5, 2.0],   # near, bright
+            [-3., -3., 4.0], [3., -3., 4.0], [0., 3., 4.0],   # far, dim
+        ], np.float32)
+        t = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+        s = np.array([200., 200., 200., 40., 40., 40.], np.float32)
+        return v, t, s
+
+    def test_zbuffer_and_gouraud(self):
+        from mapping_private_tpu.io.mesh import virtual_view_intensity
+
+        v, t, s = self._scene()
+        img = virtual_view_intensity(v, t, s, np.eye(4),
+                                     image_shape=(64, 64), fx=30, fy=30)
+        assert img.dtype == np.uint8
+        center = img[32, 32]
+        assert center == 200  # near triangle occludes the far one
+        assert (img == 40).any()  # far triangle visible around it
+        assert (img == 0).any()   # background
+        # gouraud: unequal vertex intensities interpolate
+        s2 = np.array([0., 255., 0., 0., 0., 0.], np.float32)
+        img2 = virtual_view_intensity(v, t, s2, np.eye(4),
+                                      image_shape=(64, 64), fx=30, fy=30)
+        vals = np.unique(img2[img2 > 0])
+        assert len(vals) > 10  # a gradient, not flat shading
+
+    def test_ppm_roundtrip_format(self, tmp_path):
+        from mapping_private_tpu.io.mesh import (
+            read_ppm, virtual_view_intensity, write_ppm)
+
+        v, t, s = self._scene()
+        img = virtual_view_intensity(v, t, s, np.eye(4),
+                                     image_shape=(16, 20), fx=8, fy=8)
+        p = str(tmp_path / "render.ppm")
+        write_ppm(p, img)
+        head = open(p).read().split("\n", 3)
+        assert head[0] == "P3" and head[1] == "20 16" and head[2] == "255"
+        assert (read_ppm(p) == img).all()
+
+    def test_vtk_scalars_roundtrip(self, tmp_path):
+        from mapping_private_tpu.io.mesh import read_vtk_mesh, write_vtk_mesh
+
+        v, t, s = self._scene()
+        p = str(tmp_path / "mesh.vtk")
+        write_vtk_mesh(p, v, t, scalars=s)
+        vv, tt, ss = read_vtk_mesh(p, with_scalars=True)
+        assert np.allclose(vv, v, atol=1e-5) and (tt == t).all()
+        assert np.allclose(ss, s)
+        # scalar-less files still read (back-compat)
+        p2 = str(tmp_path / "plain.vtk")
+        write_vtk_mesh(p2, v, t)
+        vv2, tt2, ss2 = read_vtk_mesh(p2, with_scalars=True)
+        assert ss2 is None and (tt2 == t).all()
+
+
+class TestBoxlistRayIntersection:
+    """boxlist_ray_intersection.cu analog (round-4 verdict item 10)."""
+
+    def test_nearest_box_wins(self):
+        import jax.numpy as jnp
+
+        from mapping_private_tpu.realtime import boxlist_ray_intersection
+
+        # box 0 far on-axis, box 1 near on-axis, box 2 off to the side
+        bmin = jnp.asarray([[-3, -3, 8], [-.2, -.2, 2], [5, 5, 4]],
+                           jnp.float32)
+        bmax = jnp.asarray([[3, 3, 9], [.2, .2, 3], [6, 6, 5]], jnp.float32)
+        ids, t = boxlist_ray_intersection(
+            bmin, bmax, jnp.zeros(3), focallength=20.0, width=41, height=41)
+        assert ids.shape == (41, 41)
+        assert int(ids[20, 20]) == 2          # boxid 1 + 1: near box occludes
+        assert float(t[20, 20]) == 2.0        # slab entry at z=2
+        corner = int(ids[0, 0])
+        assert corner in (0, 1)               # wide rays: box 0 or miss
+        assert (np.asarray(ids) == 1).any()   # far box visible off-center
+        assert (np.asarray(ids) == 0).any()   # some rays miss everything
+
+    def test_origin_inside_and_behind(self):
+        import jax.numpy as jnp
+
+        from mapping_private_tpu.realtime import ray_box_tmin
+
+        bmin = jnp.asarray([[-1, -1, -1], [-1, -1, -9]], jnp.float32)
+        bmax = jnp.asarray([[1, 1, 1], [1, 1, -8]], jnp.float32)
+        dirs = jnp.asarray([[0, 0, 1.]], jnp.float32)
+        t = np.asarray(ray_box_tmin(jnp.zeros(3), dirs, bmin, bmax))
+        assert t[0, 0] == 0.0        # origin inside: clamped entry
+        assert np.isinf(t[0, 1])     # box entirely behind the ray
+
+    def test_axis_parallel_ray(self):
+        import jax.numpy as jnp
+
+        from mapping_private_tpu.realtime import ray_box_tmin
+
+        # ray along +z at x=2: parallel to the x-slabs of a box at x in [0,1]
+        bmin = jnp.asarray([[0, -1, 3]], jnp.float32)
+        bmax = jnp.asarray([[1, 1, 4]], jnp.float32)
+        dirs = jnp.asarray([[0, 0, 1.]], jnp.float32)
+        t_miss = np.asarray(ray_box_tmin(
+            jnp.asarray([2., 0., 0.]), dirs, bmin, bmax))
+        assert np.isinf(t_miss[0, 0])  # outside the parallel slab: miss
+        t_hit = np.asarray(ray_box_tmin(
+            jnp.asarray([.5, 0., 0.]), dirs, bmin, bmax))
+        assert t_hit[0, 0] == 3.0      # inside the parallel slab: hits
