@@ -195,13 +195,25 @@ def leave_one_out_subspace(
     names: Sequence[str],
     feature_type: str,
     verbose: bool = False,
+    whiten: bool = False,
+    bin_normalize: bool = False,
 ) -> EvalResult:
-    """2.leave_one_out.sh semantics, fully batched."""
+    """2.leave_one_out.sh semantics, fully batched.
+
+    ``whiten`` applies the reference compressFeature's FILE_MODE
+    WHITENING (each compressed coordinate divided by sqrt of its
+    compress-axis eigenvalue); ``bin_normalize`` applies the
+    0.calcNormalization per-bin max scaling.  The recorded headline runs
+    with both off — see EVALUATION.md for the measured effect and the
+    train-side oracle (tests/test_subspace_train_oracle.py) anchoring
+    both variants' core computation."""
     import jax
     import jax.numpy as jnp
 
     compress_dim, sub_dim = PROTOCOL[feature_type]
     C = len(names)
+    if bin_normalize:
+        F = F / np.maximum(F.max(0), 1e-12)
     Fa, La = _augment_rotations(F, L, feature_type)
     Xall = jnp.asarray(Fa)
 
@@ -216,7 +228,13 @@ def leave_one_out_subspace(
         return v[:, ::-1][:, :dim]  # descending eigenvalue order
 
     if compress_dim is not None:
-        comp = pca_axes(Xall, compress_dim)  # (D, dim)
+        cov = Xall.T @ Xall
+        w_all, v_all = jnp.linalg.eigh(cov)
+        comp = v_all[:, ::-1][:, :compress_dim]  # (D, dim)
+        if whiten:
+            scale = 1.0 / jnp.sqrt(
+                jnp.maximum(w_all[::-1][:compress_dim], 1e-12))
+            comp = comp * scale[None, :]
         Fc = np.asarray(jnp.asarray(F) @ comp)
         Fac = np.asarray(Xall @ comp)
     else:
@@ -327,3 +345,52 @@ def crossval_svm(
     }
     n_ok = int((pred == L).sum())
     return EvalResult(n_ok / len(L), per_object, n_ok, len(L))
+
+
+def subspace_split_protocol(
+    Xtr: np.ndarray,
+    Ltr: np.ndarray,
+    Xte: np.ndarray,
+    n_class: int,
+    sub_dim: int,
+    compress_dim: Optional[int] = None,
+    whiten: bool = True,
+):
+    """Train/test-split subspace classification with the reference's exact
+    option semantics — the anchorable core of the LOO protocol.
+
+    Mirrors computeSubspace_from_file.cpp:94-132 (global compress axis =
+    mean-free PCA over ALL training rows; compressFeature whitens each
+    projected coordinate by 1/sqrt(variance) when FILE_MODE WHITENING) +
+    test_classify_from_file.cpp:59-152 classify_by_subspace (per-class
+    mean-free PCA subspaces; similarity |W_c^T y|^2 / |y|^2, argmax).
+    Whitening by eigenvalues of X^T X differs from the reference's
+    X^T X / N only by a uniform sqrt(N) scale on y, which cancels in the
+    similarity ratio.  Returns (pred (N,) int, sims (N, C))."""
+    import jax.numpy as jnp
+
+    def pca_axes_vals(X, dim):
+        cov = X.T @ X
+        w, v = jnp.linalg.eigh(cov)
+        return v[:, ::-1][:, :dim], w[::-1][:dim]
+
+    Xtr = jnp.asarray(Xtr, jnp.float32)
+    Xte = jnp.asarray(Xte, jnp.float32)
+    if compress_dim is not None:
+        comp, var = pca_axes_vals(Xtr, compress_dim)
+        Xtr = Xtr @ comp
+        Xte = Xte @ comp
+        if whiten:
+            scale = 1.0 / jnp.sqrt(jnp.maximum(var, 1e-30))
+            Xtr = Xtr * scale
+            Xte = Xte * scale
+    W = []
+    for c in range(n_class):
+        Xc = Xtr[np.asarray(Ltr) == c]
+        W.append(pca_axes_vals(Xc, sub_dim)[0])
+    W = jnp.stack(W)  # (C, D, sub)
+    proj = jnp.einsum("nd,cds->ncs", Xte, W)
+    sims = jnp.sum(proj * proj, axis=-1)
+    den = jnp.maximum(jnp.sum(Xte * Xte, axis=-1, keepdims=True), 1e-20)
+    sims = sims / den
+    return np.asarray(jnp.argmax(sims, axis=-1)), np.asarray(sims)

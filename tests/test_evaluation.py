@@ -51,3 +51,29 @@ def test_svm_crossval_r(corpus):
     _, Fr, L, names = corpus
     r = crossval_svm(Fr, L, names, n_folds=4)
     assert r.rate > 0.80, r.rate
+
+
+def test_leave_one_out_full_reference_chain_r(corpus):
+    """The reference's complete preprocessing chain (0.calcNormalization
+    bin scaling + FILE_MODE WHITENING in compressFeature) measured on the
+    committed corpus: slightly better than the unwhitened headline
+    (EVALUATION.md records 91.87 % vs 91.20 %), and the core computation
+    is anchored by tests/test_subspace_train_oracle.py."""
+    from mapping_private_tpu.classify.evaluate import leave_one_out_subspace
+
+    _, Fr, L, names = corpus
+    r = leave_one_out_subspace(Fr, L, names, "r", whiten=True,
+                               bin_normalize=True)
+    assert r.rate > 0.86, r.rate
+
+
+def test_whitening_without_normalization_collapses(corpus):
+    """Guard the documented failure mode: whitening raw-scale VOSCH
+    features (eigenvalue spread ~1e9 in f32) amplifies noise dimensions
+    and collapses the rate — the reference protocol only whitens AFTER
+    bin normalization, and so must any caller here."""
+    from mapping_private_tpu.classify.evaluate import leave_one_out_subspace
+
+    _, Fr, L, names = corpus
+    r = leave_one_out_subspace(Fr, L, names, "r", whiten=True)
+    assert r.rate < 0.5, r.rate
