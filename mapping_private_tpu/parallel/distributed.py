@@ -375,3 +375,39 @@ def make_sharded_registration_step(
     )
     shardings = tuple(NamedSharding(mesh, s) for s in specs_in)
     return step, shardings
+
+
+def balance_map_shards(map_xyz, mask, tile_size: float, n_shards: int):
+    """Occupancy-balancing permutation for the evenly row-sharded map.
+
+    The sharded tiled map step splits map rows into contiguous equal
+    blocks; on a spatially-ordered skewed scene (corridor + dense
+    cluster) that gives shards wildly different occupied-tile counts —
+    the sizing skew SCALING.json tracks (per-shard compute itself is
+    static-shaped and skew-immune, but global max_tiles must cover the
+    WORST shard's occupancy).  This host-side helper returns a
+    permutation that deals live points round-robin over shards in
+    lattice-tile order, so every shard samples every region and the
+    per-shard occupied-tile counts equalize.  Apply as
+    ``map_xyz[perm]`` (and to masks/normals) before device_put.
+    """
+    import numpy as np
+
+    xyz = np.asarray(map_xyz)
+    m = np.asarray(mask)
+    lo = xyz[m].min(0) - tile_size
+    cell = np.floor((xyz - lo) / tile_size).astype(np.int64)
+    ext = cell[m].max(0) + 1
+    flat = (cell[:, 0] * ext[1] + cell[:, 1]) * ext[2] + cell[:, 2]
+    flat = np.where(m, flat, np.int64(1) << 60)  # dead rows sort last
+    order = np.argsort(flat, kind="stable")
+    # deal in tile order: position i of the sorted list goes to shard
+    # i % n_shards, preserving tile order within each shard
+    M = len(xyz)
+    perm = np.empty(M, np.int64)
+    pos = 0
+    for s in range(n_shards):
+        sel = order[s::n_shards]
+        perm[pos : pos + len(sel)] = sel
+        pos += len(sel)
+    return perm

@@ -243,3 +243,33 @@ class TestShardedMapBigShards:
             T_ref = np.asarray(
                 se3_exp(jnp.asarray(xi, jnp.float32))) @ T_ref
         np.testing.assert_allclose(np.asarray(T_sh), T_ref, atol=2e-4)
+
+
+def test_balance_map_shards_equalizes_occupancy():
+    """Skew-stress mitigation (round-4 verdict item 8): the round-robin
+    tile-order permutation must equalize per-shard occupied-tile counts
+    on a corridor+cluster scene while keeping every live point."""
+    from mapping_private_tpu.parallel.distributed import balance_map_shards
+
+    rng = np.random.default_rng(0)
+    corridor = np.column_stack([
+        rng.uniform(0, 20, 4000), rng.uniform(0, 1, 4000),
+        rng.uniform(0, 0.5, 4000)])
+    cluster = rng.normal([25, 0.5, 0.25], 0.3, (12000, 3))
+    xyz = np.vstack([corridor, cluster]).astype(np.float32)
+    mask = np.ones(len(xyz), bool)
+    nd, tile = 8, 0.3
+
+    def occ_balance(x):
+        b = np.linspace(0, len(x), nd + 1, dtype=int)
+        lo = x.min(0) - tile
+        c = np.floor((x - lo) / tile).astype(np.int64)
+        ext = c.max(0) + 1
+        f = (c[:, 0] * ext[1] + c[:, 1]) * ext[2] + c[:, 2]
+        occ = [len(np.unique(f[b[i]:b[i + 1]])) for i in range(nd)]
+        return np.mean(occ) / max(occ)
+
+    assert occ_balance(xyz) < 0.6  # the scene is genuinely skewed
+    perm = balance_map_shards(xyz, mask, tile, nd)
+    assert sorted(perm) == list(range(len(xyz)))  # a true permutation
+    assert occ_balance(xyz[perm]) > 0.95
