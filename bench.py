@@ -193,6 +193,65 @@ def tpu_icp_fps(src, tgt, normals):
     return 1.0 / dt, fps_dispatch, np.asarray(Ts), steps_true
 
 
+BATCH_PAIRS = 16
+
+
+def batched_pairs_fps(tgt, normals, B=BATCH_PAIRS):
+    """Deployment-shaped protocol (round-4 verdict item 2): register B
+    INDEPENDENT scan pairs in ONE dispatched program (vmap over the pair
+    axis), so a single host→device round-trip amortizes over B results —
+    the analog of a perception node serving B concurrent streams, unlike
+    the chain (which presupposes a known trajectory) and unlike
+    per-dispatch (which pays the tunnel RTT per pair).  Blocking timing:
+    every rep waits for its results before the next dispatch.
+
+    Returns (pairs_per_second, (B,4,4) transforms, (B,4,4) true)."""
+    import jax
+    import jax.numpy as jnp
+    from mapping_private_tpu.core.se3 import se3_exp
+    from mapping_private_tpu.registration.icp import icp_point_to_plane
+
+    rng = np.random.default_rng(3)
+    n = len(tgt)
+    tgts, srcs, nrms, trues = [], [], [], []
+    for b in range(B):
+        # each stream: the shared scene under its own rigid step
+        xi = rng.uniform(-1, 1, 6).astype(np.float32) * np.array(
+            [0.05, 0.04, 0.03, 0.02, 0.02, 0.03], np.float32)
+        T = np.asarray(se3_exp(jnp.asarray(xi)))
+        tgts.append(tgt)
+        nrms.append(normals)
+        srcs.append((tgt - T[:3, 3]) @ T[:3, :3])
+        trues.append(T)
+    tgts = jnp.asarray(np.stack(tgts), jnp.float32)
+    nrms_j = jnp.asarray(np.stack(nrms), jnp.float32)
+    srcs = jnp.asarray(np.stack(srcs), jnp.float32)
+    stride = max(1, n // SRC_SAMPLES)
+    smask = jnp.ones((srcs.shape[1] // stride +
+                      (1 if srcs.shape[1] % stride else 0),), bool)
+    mask = jnp.ones((n,), bool)
+
+    @jax.jit
+    def batch(tgts_a, nrms_a, srcs_a):
+        def one(tgt_i, nrm_i, src_i):
+            return icp_point_to_plane(
+                src_i[::stride], smask, tgt_i, mask, nrm_i,
+                iters=ICP_ITERS, max_corr_dist=0.5,
+            ).transform
+        return jax.vmap(one)(tgts_a, nrms_a, srcs_a)
+
+    Ts = batch(tgts, nrms_j, srcs)
+    Ts.block_until_ready()
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        # block per dispatch — honest round-trip accounting
+        Ts = batch(tgts, nrms_j, srcs)
+        Ts.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return B / dt, np.asarray(Ts), np.stack(trues)
+
+
 def tiled_path_rows():
     """Big-cloud engine drift tracking: a 200k compact-NN and a 200k
     6-sweep tiled-ICP row for BENCH_HISTORY.jsonl (round-3 verdict: the
@@ -278,6 +337,12 @@ def main():
     errs = _np.linalg.norm(Ts - steps_true, axis=(1, 2))
     assert errs.max() < 0.05, f"ICP diverged, max |T-T_true|={errs.max()}"
 
+    # deployment-shaped batched protocol: B independent pairs per
+    # blocking dispatch (one RTT amortized over B results)
+    fps_batch, Tb, Tb_true = batched_pairs_fps(tgt, normals)
+    berrs = _np.linalg.norm(Tb - Tb_true, axis=(1, 2))
+    assert berrs.max() < 0.05, f"batched ICP diverged: {berrs.max()}"
+
     result = {
         "metric": "icp_registration",
         "value": round(fps, 2),
@@ -285,10 +350,13 @@ def main():
         "vs_baseline": round(fps / ref_fps, 2),
         # value amortizes dispatch over a 20-pair traced chain (device
         # throughput); per_dispatch_fps pays one host round-trip per pair;
+        # batch16 registers 16 INDEPENDENT pairs per blocking dispatch;
         # the CPU baseline divisor is per-pair wall-clock
         "protocol": "chain20",
         "per_dispatch_fps": round(fps_dispatch, 2),
         "per_dispatch_vs_baseline": round(fps_dispatch / ref_fps, 2),
+        f"batch{BATCH_PAIRS}_fps": round(fps_batch, 2),
+        f"batch{BATCH_PAIRS}_vs_baseline": round(fps_batch / ref_fps, 2),
     }
     # the driver contract is the stdout line — print it BEFORE the
     # best-effort history rows (the tiled-path rows compile fresh

@@ -80,7 +80,10 @@ def nn_1nn(
     target_xyz = jnp.asarray(target_xyz)
     query_mask = jnp.asarray(query_mask)
     target_mask = jnp.asarray(target_mask)
-    n_t = int(jnp.sum(target_mask))
+    # batch the two live-count reads into one sync point (each blocking
+    # scalar read costs a full ~25-30 ms RTT on the tunneled backend)
+    n_t, n_q = (int(v) for v in jax.device_get(
+        (jnp.sum(target_mask), jnp.sum(query_mask))))
 
     if engine == "auto":
         # dispatch on CAPACITIES (free, static): brute-force cost is
@@ -90,7 +93,7 @@ def nn_1nn(
             query_xyz.shape[0], target_xyz.shape[0], radius)
     if engine in ("compact", "lattice") and radius is None:
         raise ValueError(f"engine='{engine}' needs a search radius")
-    if n_t == 0 or int(jnp.sum(query_mask)) == 0:
+    if n_t == 0 or n_q == 0:
         n = query_xyz.shape[0]
         return (jnp.full((n,), -1, jnp.int32),
                 jnp.full((n,), jnp.inf, jnp.float32))
@@ -103,9 +106,7 @@ def nn_1nn(
 
         bt = masked_bounds(target_xyz, target_mask)
         bq = masked_bounds(query_xyz, query_mask)
-        lo, dims = _lattice_geometry(
-            [tuple(np.asarray(b) for b in bt),
-             tuple(np.asarray(b) for b in bq)], radius)
+        lo, dims = _lattice_geometry(jax.device_get((bt, bq)), radius)
         check_lattice_dims(dims, radius)
         n_cells = dims[0] * dims[1] * dims[2]
         if engine == "lattice" and n_cells > LATTICE_CELL_LIMIT:
@@ -148,10 +149,13 @@ def _tiled_1nn(query_xyz, query_mask, target_xyz, target_mask,
     from mapping_private_tpu.ops import tiled_nn
 
     dims_j = np.asarray(dims, np.int32)
-    occ_t, cap_t = (int(v) for v in tiled_nn.lattice_occupancy(
-        target_xyz, target_mask, lo, radius, dims_j))
-    occ_q, cap_q = (int(v) for v in tiled_nn.lattice_occupancy(
-        query_xyz, query_mask, lo, radius, dims_j))
+    # dispatch both occupancy programs, then ONE sync (RTT discipline)
+    ot = tiled_nn.lattice_occupancy(
+        target_xyz, target_mask, lo, radius, dims_j)
+    oq = tiled_nn.lattice_occupancy(
+        query_xyz, query_mask, lo, radius, dims_j)
+    (occ_t, cap_t), (occ_q, cap_q) = (
+        (int(a), int(b)) for a, b in jax.device_get((ot, oq)))
     # lane-pad caps; max_tiles MUST cover all target-occupied tiles
     # (target spill is unsafe — see build_compact_tiles), so size it from
     # the larger side's exact occupancy plus margin

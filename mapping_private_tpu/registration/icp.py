@@ -330,6 +330,16 @@ def icp_point_to_plane(
     )
 
 
+@jax.jit
+def _lattice_geom(bt, bs, t):
+    """Union lattice geometry from two (lo, hi) bounds pairs — device-
+    side so the sizing chain syncs once (see icp_point_to_plane_tiled)."""
+    lo = jnp.minimum(bt[0], bs[0]) - 2.0 * t
+    hi = jnp.maximum(bt[1], bs[1]) + 2.0 * t
+    dims = jnp.ceil((hi - lo) / t).astype(jnp.int32)
+    return lo, dims
+
+
 def icp_point_to_plane_tiled(
     src_xyz, src_mask, tgt_xyz, tgt_mask, tgt_normals,
     tile_size: float = 0.25, cap_per_cell: int = 256, **kwargs
@@ -352,20 +362,30 @@ def icp_point_to_plane_tiled(
     from mapping_private_tpu.ops.tiled_nn import (
         check_lattice_dims, lattice_occupancy, masked_bounds)
 
+    # Transfer discipline (the round-4 610→775 ms regression at 200k):
+    # jax dispatch is async, but every int()/np.asarray() of a device
+    # value is a BLOCKING round-trip, and over the tunneled link one RTT
+    # costs ~25-30 ms.  Interleaving dispatch+read here paid ~6 RTTs of
+    # pure latency per wrapper call.  lattice_occupancy takes origin and
+    # dims as DATA (not shapes), so the whole sizing chain — bounds →
+    # union geometry → both occupancies — dispatches device-side as
+    # separate small programs and syncs in ONE device_get: 1 RTT total.
+    # (Per-stat programs, NOT the single fused multi-output sizing
+    # program that deterministically corrupted the SECOND call of the
+    # big ICP executable on the axon backend — commit 01780f0.)
     t = jnp.float32(tile_size)
     src_j, sm_j = jnp.asarray(src_xyz), jnp.asarray(src_mask)
     tgt_j, tm_j = jnp.asarray(tgt_xyz), jnp.asarray(tgt_mask)
-    lo_t, hi_t = masked_bounds(tgt_j, tm_j)
-    lo_s, hi_s = masked_bounds(src_j, sm_j)
-    lo = np.minimum(np.asarray(lo_t), np.asarray(lo_s)) - 2 * tile_size
-    hi = np.maximum(np.asarray(hi_t), np.asarray(hi_s)) + 2 * tile_size
-    dims = tuple(int(v) for v in np.ceil((hi - lo) / tile_size))
+    bt = masked_bounds(tgt_j, tm_j)
+    bs = masked_bounds(src_j, sm_j)
+    lo_dev, dims_dev = _lattice_geom(bt, bs, t)
+    ot = lattice_occupancy(tgt_j, tm_j, lo_dev, t, dims_dev)
+    os_ = lattice_occupancy(src_j, sm_j, lo_dev, t, dims_dev)
+    lo, dims_a, (occ_t, maxcell_t), (occ_s, _) = jax.device_get(
+        (lo_dev, dims_dev, ot, os_))
+    dims = tuple(int(v) for v in dims_a)
     check_lattice_dims(dims, tile_size)
-    origin = jnp.asarray(lo, jnp.float32)
-    dims_j = np.asarray(dims, np.int32)
-    occ_t, maxcell_t = (
-        int(v) for v in lattice_occupancy(tgt_j, tm_j, origin, t, dims_j))
-    occ_s = int(lattice_occupancy(src_j, sm_j, origin, t, dims_j)[0])
+    occ_t, maxcell_t, occ_s = int(occ_t), int(maxcell_t), int(occ_s)
     occ = max(occ_t, occ_s)
     max_tiles = 1 << int(np.ceil(np.log2(max(int(1.5 * occ), 64))))
     assert max_tiles >= occ_t, "max_tiles must cover target occupancy"
