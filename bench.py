@@ -233,12 +233,17 @@ def batched_pairs_fps(tgt, normals, B=BATCH_PAIRS):
 
     @jax.jit
     def batch(tgts_a, nrms_a, srcs_a):
-        def one(tgt_i, nrm_i, src_i):
+        def one(pair):
+            tgt_i, nrm_i, src_i = pair
             return icp_point_to_plane(
                 src_i[::stride], smask, tgt_i, mask, nrm_i,
                 iters=ICP_ITERS, max_corr_dist=0.5,
             ).transform
-        return jax.vmap(one)(tgts_a, nrms_a, srcs_a)
+        # lax.map, not vmap: the pallas NN kernel is written for an
+        # unbatched (N, 3) layout (a vmapped BlockSpec would need
+        # batch-aware index maps); sequencing pairs inside ONE program
+        # keeps the kernel unchanged and still amortizes the dispatch
+        return jax.lax.map(one, (tgts_a, nrms_a, srcs_a))
 
     Ts = batch(tgts, nrms_j, srcs)
     Ts.block_until_ready()

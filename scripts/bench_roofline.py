@@ -36,16 +36,66 @@ PEAK_VPU_F32 = 3.85e12
 PEAK_HBM = 819e9
 
 
-def timed(fn, *args, reps=10):
-    import jax
+_RTT = [None]
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+
+def _measure_rtt():
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda: jnp.zeros(()))
+    jax.device_get(f())
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    for _ in range(5):
+        jax.device_get(f())
+    _RTT[0] = (time.perf_counter() - t0) / 5
+    print(f"dispatch+readback overhead: {_RTT[0]*1e3:.1f} ms", flush=True)
+
+
+def timed(fn, *args, reps=0, iters=16):
+    """Device time per kernel iteration, robust to the tunneled
+    backend's unreliable block_until_ready (it can no-op — only
+    device_get truly waits) and to per-call argument upload: K kernel
+    iterations run INSIDE one program as a lax.scan whose carry
+    perturbs every float input by +0.0*prev_output, making each
+    iteration data-dependent on the last (no CSE / loop-invariant
+    hoisting); ONE device_get syncs, and the separately measured
+    dispatch+readback overhead is subtracted."""
+    import jax
+    import jax.numpy as jnp
+
+    if _RTT[0] is None:
+        _measure_rtt()
+
+    @jax.jit
+    def run(*a):
+        def body(eps, _):
+            pert = jax.tree_util.tree_map(
+                lambda x: x + eps.astype(x.dtype)
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+                a)
+            out = fn(*pert)
+            leaf = [l for l in jax.tree_util.tree_leaves(out)
+                    if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)]
+            # Chain on the FULL reduction of every float output,
+            # multiplied by a tiny non-zero constant: mul-by-0.0 gets
+            # folded and the body dead-code-eliminated, and chaining on
+            # a single element lets XLA DCE everything not feeding that
+            # one value (measured: colorchlac117 collapsed to its first
+            # bin's reduction).  Σ over all outputs keeps every bin,
+            # every query row, every hypothesis live.
+            red = (sum(jnp.sum(jnp.real(l)) for l in leaf) if leaf
+                   else eps)
+            nxt = red * jnp.float32(1e-38)
+            return nxt.astype(jnp.float32), None
+        eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return eps
+
+    jax.device_get(run(*args))  # compile + warmup
+    t0 = time.perf_counter()
+    jax.device_get(run(*args))
+    t = time.perf_counter() - t0
+    return max(t - _RTT[0], 1e-9) / iters
 
 
 def cost(fn, *args):
@@ -67,7 +117,16 @@ def main():
     def row(name, workload, t_s, flops, bytes_, bound, peak):
         ach = flops / t_s
         bw = bytes_ / t_s if bytes_ else 0.0
-        pct = (ach / peak if bound != "hbm" else bw / PEAK_HBM) * 100
+        # the binding resource is whichever fraction is higher (bytes
+        # from XLA cost analysis overcount post-fusion HBM traffic, so
+        # the bw fraction is an upper bound on memory pressure)
+        f_c = ach / peak
+        f_m = bw / PEAK_HBM
+        if f_m > f_c:
+            bound = "hbm"
+            pct = f_m * 100
+        else:
+            pct = f_c * 100
         r = dict(kernel=name, workload=workload, time_ms=round(t_s * 1e3, 2),
                  gflops=round(flops / 1e9, 2),
                  achieved_tflops=round(ach / 1e12, 3),
@@ -87,7 +146,7 @@ def main():
         q = jnp.asarray(pts + 0.01)
         ref = prepare_nn_ref_argmin(jnp.asarray(pts))
         f = jax.jit(lambda q, ref: nn_argmin_prepared(q, ref))
-        t = timed(f, q, ref, reps=10 if n == 20_000 else 3)
+        t = timed(f, q, ref, iters=64 if n == 20_000 else 8)
         row("pallas_nn.nn_argmin_prepared", f"{n//1000}k x {n//1000}k",
             t, 9.0 * n * n, 0, "vpu", PEAK_VPU_F32)
 
@@ -107,7 +166,7 @@ def main():
     ct = build_compact_tiles(jnp.asarray(tgt), mask, lo, tile, dims, cap, MT)
     qt = build_compact_tiles(jnp.asarray(src), mask, lo, tile, dims, cap, MT)
     f = jax.jit(lambda a, b: compact_nn_1nn(a, b))
-    t = timed(f, ct, qt, reps=5)
+    t = timed(f, ct, qt, iters=16)
     computed_pairs = MT * cap * 27 * cap  # slot x 27-stencil x cap block
     # the engine walks (slot, 27, cap) blocks of cap queries: pairs
     # actually computed = occupied-slot queries x 27 x cap; use the
@@ -128,7 +187,7 @@ def main():
                                 num_hypotheses=512)
 
     fl, by = cost(ransac, jnp.asarray(pts), m, key)
-    t = timed(jax.jit(ransac), jnp.asarray(pts), m, key)
+    t = timed(ransac, jnp.asarray(pts), m, key, iters=64)
     row("fit.ransac.fit_plane_ransac", "512 hyps x 100k",
         t, fl, by, "vpu", PEAK_VPU_F32)
 
@@ -150,7 +209,7 @@ def main():
         return colorchlac117(g)
 
     fl, by = cost(chlac, grid)
-    t = timed(jax.jit(chlac), grid)
+    t = timed(chlac, grid, iters=256)
     row("features.colorchlac117", "128^3 grid", t, fl, by,
         "hbm", PEAK_HBM)
 
@@ -169,7 +228,7 @@ def main():
 
     a = (jnp.asarray(src2), jnp.asarray(tgt2), jnp.asarray(nrm2))
     fl, by = cost(sweep, *a)
-    t = timed(jax.jit(sweep), *a)
+    t = timed(sweep, *a, iters=64)
     row("icp_point_to_plane (1 sweep)", "2k x 20k", t, fl, by,
         "vpu", PEAK_VPU_F32)
 
