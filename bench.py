@@ -160,13 +160,15 @@ def tpu_icp_fps(src, tgt, normals):
             body, None, (scans_a[:-1], nrms_a[:-1], scans_a[1:]))
         return Ts
 
-    Ts = chain(scans_j, nrms_j)  # compile + warmup
-    Ts.block_until_ready()
+    # sync via device_get: block_until_ready can NO-OP on the tunneled
+    # backend (see CLAUDE.md); the one readback of (20,4,4) floats after
+    # the rep loop adds a single RTT over reps*CHAIN_LEN pairs
+    jax.device_get(chain(scans_j, nrms_j))  # compile + warmup
     reps = 5
     t0 = time.perf_counter()
-    for _ in range(reps):
+    for _ in range(reps - 1):
         Ts = chain(scans_j, nrms_j)
-    Ts.block_until_ready()
+    Ts = jax.device_get(chain(scans_j, nrms_j))
     dt = (time.perf_counter() - t0) / (reps * CHAIN_LEN)
 
     # per-dispatch protocol: ONE pair per jitted call, so each rep pays
@@ -180,14 +182,14 @@ def tpu_icp_fps(src, tgt, normals):
             iters=ICP_ITERS, max_corr_dist=0.5,
         ).transform
 
-    T1 = one_pair(scans_j[0], nrms_j[0], scans_j[1])
-    T1.block_until_ready()
+    jax.device_get(one_pair(scans_j[0], nrms_j[0], scans_j[1]))
     reps1 = 50
     t0 = time.perf_counter()
     for _ in range(reps1):
-        # block INSIDE the loop: async dispatch would otherwise pipeline
-        # the reps and collapse this back into chained throughput
-        one_pair(scans_j[0], nrms_j[0], scans_j[1]).block_until_ready()
+        # sync INSIDE the loop via device_get: async dispatch would
+        # otherwise pipeline the reps and collapse this back into
+        # chained throughput (and block_until_ready can no-op)
+        jax.device_get(one_pair(scans_j[0], nrms_j[0], scans_j[1]))
     fps_dispatch = reps1 / (time.perf_counter() - t0)
 
     return 1.0 / dt, fps_dispatch, np.asarray(Ts), steps_true
@@ -245,14 +247,13 @@ def batched_pairs_fps(tgt, normals, B=BATCH_PAIRS):
         # keeps the kernel unchanged and still amortizes the dispatch
         return jax.lax.map(one, (tgts_a, nrms_a, srcs_a))
 
-    Ts = batch(tgts, nrms_j, srcs)
-    Ts.block_until_ready()
+    jax.device_get(batch(tgts, nrms_j, srcs))
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
-        # block per dispatch — honest round-trip accounting
-        Ts = batch(tgts, nrms_j, srcs)
-        Ts.block_until_ready()
+        # sync per dispatch via device_get — honest round-trip
+        # accounting that also survives no-op block_until_ready nights
+        Ts = jax.device_get(batch(tgts, nrms_j, srcs))
     dt = (time.perf_counter() - t0) / reps
     return B / dt, np.asarray(Ts), np.stack(trues)
 

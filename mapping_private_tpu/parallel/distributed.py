@@ -395,6 +395,8 @@ def balance_map_shards(map_xyz, mask, tile_size: float, n_shards: int):
 
     xyz = np.asarray(map_xyz)
     m = np.asarray(mask)
+    if not m.any():
+        return np.arange(len(xyz), dtype=np.int64)  # nothing to balance
     lo = xyz[m].min(0) - tile_size
     cell = np.floor((xyz - lo) / tile_size).astype(np.int64)
     ext = cell[m].max(0) + 1

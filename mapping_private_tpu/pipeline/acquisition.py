@@ -185,8 +185,10 @@ class TriggeredCapture:
         if self.distance_th is not None and z is not None:
             th = float(self.distance_th)
             if self.relative:
-                th += float(z.min())
-            keep = z < th
+                # raw Kinect clouds carry NaN rows — the reference's
+                # dis_min scan skips them implicitly (NaN comparisons)
+                th += float(np.nanmin(z))
+            keep = np.isfinite(z) & (z < th)
             arrays = {k: v[keep] if v.shape[:1] == keep.shape else v
                       for k, v in arrays.items()}
         if "xyz" in arrays and len(arrays["xyz"]):

@@ -21,35 +21,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def render_depth_mesh(
-    vertices: jax.Array,
-    triangles: jax.Array,
-    image_shape: Tuple[int, int],
-    fx: float = 580.0,
-    fy: float = 580.0,
-    cx: Optional[float] = None,
-    cy: Optional[float] = None,
-    pose: Optional[jax.Array] = None,
-    chunk: int = 64,
-    z_near: float = 0.1,
-    z_far: float = 100.0,
-) -> jax.Array:
-    """Rasterize a triangle mesh into a (H, W) metric depth image.
-
-    Args:
-      vertices: (V, 3) mesh vertices (model frame).
-      triangles: (T, 3) int32 vertex indices.
-      pose: optional (4, 4) model→camera transform (the URDF link pose).
-      chunk: triangles per scan step (memory/throughput knob).
-
-    Returns (H, W) depth in metres; 0 where nothing was hit.
-    """
+def _raster_mesh(
+    vertices, triangles, image_shape, fx, fy, cx, cy, pose, chunk,
+    z_near, z_far, intensities=None,
+):
+    """Shared chunked barycentric raster core: returns (zbuf, ibuf) —
+    ibuf is None without ``intensities``.  One broadcast of edge
+    functions per (chunk, H, W); the min over chunks IS the z-buffer."""
     h, w = image_shape
     cx = (w - 1) / 2.0 if cx is None else cx
     cy = (h - 1) / 2.0 if cy is None else cy
     v = jnp.asarray(vertices, jnp.float32)
     if pose is not None:
         v = v @ pose[:3, :3].T + pose[:3, 3]
+    inten = (None if intensities is None
+             else jnp.asarray(intensities, jnp.float32))
     tri = jnp.asarray(triangles, jnp.int32)
     t_total = tri.shape[0]
     pad = (-t_total) % chunk
@@ -64,7 +50,8 @@ def render_depth_mesh(
         jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
     )  # (H, W)
 
-    def raster_chunk(zbuf, args):
+    def raster_chunk(carry, args):
+        zbuf, ibuf = carry
         ids, ok = args  # (C,3), (C,)
         p = v[ids]  # (C, 3, 3)
         z = p[..., 2]  # (C, 3)
@@ -99,11 +86,54 @@ def render_depth_mesh(
             + w2 / jnp.maximum(z[:, 2, None, None], 1e-6)
         )
         depth = jnp.where(inside, 1.0 / jnp.maximum(inv_z, 1e-9), z_far)
-        zbuf = jnp.minimum(zbuf, jnp.min(depth, axis=0))
-        return zbuf, None
+        if ibuf is None:
+            return (jnp.minimum(zbuf, jnp.min(depth, axis=0)), None), None
+        # screen-space Gouraud of the nearest triangle's vertex values
+        ivals = inten[ids]  # (C, 3)
+        gouraud = (
+            w0 * ivals[:, 0, None, None]
+            + w1 * ivals[:, 1, None, None]
+            + w2 * ivals[:, 2, None, None]
+        )
+        kmin = jnp.argmin(depth, axis=0)  # (H, W)
+        dmin = jnp.take_along_axis(depth, kmin[None], axis=0)[0]
+        imin = jnp.take_along_axis(gouraud, kmin[None], axis=0)[0]
+        closer = dmin < zbuf
+        return (jnp.where(closer, dmin, zbuf),
+                jnp.where(closer, imin, ibuf)), None
 
     zbuf0 = jnp.full((h, w), z_far, jnp.float32)
-    zbuf, _ = jax.lax.scan(raster_chunk, zbuf0, (tri, tri_valid))
+    ibuf0 = None if inten is None else jnp.zeros((h, w), jnp.float32)
+    (zbuf, ibuf), _ = jax.lax.scan(
+        raster_chunk, (zbuf0, ibuf0), (tri, tri_valid))
+    return zbuf, ibuf
+
+
+def render_depth_mesh(
+    vertices: jax.Array,
+    triangles: jax.Array,
+    image_shape: Tuple[int, int],
+    fx: float = 580.0,
+    fy: float = 580.0,
+    cx: Optional[float] = None,
+    cy: Optional[float] = None,
+    pose: Optional[jax.Array] = None,
+    chunk: int = 64,
+    z_near: float = 0.1,
+    z_far: float = 100.0,
+) -> jax.Array:
+    """Rasterize a triangle mesh into a (H, W) metric depth image.
+
+    Args:
+      vertices: (V, 3) mesh vertices (model frame).
+      triangles: (T, 3) int32 vertex indices.
+      pose: optional (4, 4) model→camera transform (the URDF link pose).
+      chunk: triangles per scan step (memory/throughput knob).
+
+    Returns (H, W) depth in metres; 0 where nothing was hit.
+    """
+    zbuf, _ = _raster_mesh(vertices, triangles, image_shape, fx, fy,
+                           cx, cy, pose, chunk, z_near, z_far)
     return jnp.where(zbuf < z_far, zbuf, 0.0)
 
 
@@ -127,82 +157,14 @@ def render_intensity_mesh(
     The render half of the cloud_tools mesh viewer's image dump
     (cloud_tools/src/me.cpp:227-259 `image()` + :279-299 — GL_SMOOTH
     triangles colored by per-vertex scalar, framebuffer red channel read
-    back): same z-buffered rasterizer as render_depth_mesh, but the
-    carry also holds the barycentric (Gouraud) interpolation of the
-    nearest triangle's vertex intensities — screen-space interpolation,
-    like the fixed-function GL path the reference reads back.
+    back): the shared z-buffered rasterizer, with the carry also holding
+    the barycentric (Gouraud) interpolation of the nearest triangle's
+    vertex intensities — screen-space interpolation, like the
+    fixed-function GL path the reference reads back.
     """
-    h, w = image_shape
-    cx = (w - 1) / 2.0 if cx is None else cx
-    cy = (h - 1) / 2.0 if cy is None else cy
-    v = jnp.asarray(vertices, jnp.float32)
-    if pose is not None:
-        v = v @ pose[:3, :3].T + pose[:3, 3]
-    inten = jnp.asarray(intensities, jnp.float32)
-    tri = jnp.asarray(triangles, jnp.int32)
-    t_total = tri.shape[0]
-    pad = (-t_total) % chunk
-    if pad:
-        tri = jnp.concatenate([tri, jnp.zeros((pad, 3), jnp.int32)], axis=0)
-    tri_valid = jnp.arange(tri.shape[0]) < t_total
-    tri = tri.reshape(-1, chunk, 3)
-    tri_valid = tri_valid.reshape(-1, chunk)
-
-    uu, vv = jnp.meshgrid(
-        jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
-    )
-
-    def raster_chunk(carry, args):
-        zbuf, ibuf = carry
-        ids, ok = args
-        p = v[ids]
-        ivals = inten[ids]  # (C, 3)
-        z = p[..., 2]
-        in_front = jnp.all(z > z_near, axis=-1) & ok
-        px = p[..., 0] / jnp.maximum(z, 1e-6) * fx + cx
-        py = p[..., 1] / jnp.maximum(z, 1e-6) * fy + cy
-        x0, x1, x2 = px[:, 0], px[:, 1], px[:, 2]
-        y0, y1, y2 = py[:, 0], py[:, 1], py[:, 2]
-        area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-        nz_area = jnp.abs(area) > 1e-9
-        area_s = jnp.where(nz_area, area, 1.0)
-
-        def edge(ax, ay, bx, by):
-            return (
-                (bx - ax)[:, None, None] * (vv[None] - ay[:, None, None])
-                - (by - ay)[:, None, None] * (uu[None] - ax[:, None, None])
-            )
-
-        w0 = edge(x1, y1, x2, y2) / area_s[:, None, None]
-        w1 = edge(x2, y2, x0, y0) / area_s[:, None, None]
-        w2 = edge(x0, y0, x1, y1) / area_s[:, None, None]
-        inside = (
-            (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-            & nz_area[:, None, None] & in_front[:, None, None]
-        )
-        inv_z = (
-            w0 / jnp.maximum(z[:, 0, None, None], 1e-6)
-            + w1 / jnp.maximum(z[:, 1, None, None], 1e-6)
-            + w2 / jnp.maximum(z[:, 2, None, None], 1e-6)
-        )
-        depth = jnp.where(inside, 1.0 / jnp.maximum(inv_z, 1e-9), z_far)
-        gouraud = (
-            w0 * ivals[:, 0, None, None]
-            + w1 * ivals[:, 1, None, None]
-            + w2 * ivals[:, 2, None, None]
-        )
-        # nearest triangle of this chunk, then merge with the carry
-        kmin = jnp.argmin(depth, axis=0)  # (H, W)
-        dmin = jnp.take_along_axis(depth, kmin[None], axis=0)[0]
-        imin = jnp.take_along_axis(gouraud, kmin[None], axis=0)[0]
-        closer = dmin < zbuf
-        return (jnp.where(closer, dmin, zbuf),
-                jnp.where(closer, imin, ibuf)), None
-
-    zbuf0 = jnp.full((h, w), z_far, jnp.float32)
-    ibuf0 = jnp.full((h, w), jnp.float32(background))
-    (zbuf, ibuf), _ = jax.lax.scan(
-        raster_chunk, (zbuf0, ibuf0), (tri, tri_valid))
+    zbuf, ibuf = _raster_mesh(vertices, triangles, image_shape, fx, fy,
+                              cx, cy, pose, chunk, z_near, z_far,
+                              intensities=intensities)
     return jnp.where(zbuf < z_far, ibuf, jnp.float32(background))
 
 
@@ -226,8 +188,11 @@ def ray_box_tmin(
     d = jnp.asarray(dirs, jnp.float32)[:, None, :]        # (R, 1, 3)
     lo = jnp.asarray(box_min, jnp.float32)[None]          # (1, B, 3)
     hi = jnp.asarray(box_max, jnp.float32)[None]
-    # sign-ordered slab bounds; d == 0 gives ±inf which the min/max
-    # handle exactly (IEEE), matching the CUDA division semantics
+    # sign-ordered slab bounds; a zero direction component is replaced
+    # by 1e-30 (NOT left to divide to IEEE ±inf: a true inf would give
+    # 0*inf = NaN when the origin lies exactly ON a slab plane) — the
+    # ±1e30 pseudo-slab bounds behave like the CUDA kernel's ±inf for
+    # every off-plane case and stay NaN-free on the boundary
     inv = 1.0 / jnp.where(jnp.abs(d) > 0, d, jnp.float32(1e-30))
     t1 = (lo - o) * inv
     t2 = (hi - o) * inv

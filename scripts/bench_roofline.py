@@ -18,7 +18,8 @@ analysis reports 0 for them): exact-1NN distance+argmin = 9 flops/pair
 (3 sub + 3 mul + 2 add + 1 cmp).  bytes: cost analysis
 "bytes accessed{}" where present.
 
-Usage: PYTHONPATH=/root/repo python scripts/bench_roofline.py
+Usage: python scripts/bench_roofline.py  (run from the repo root;
+never overwrite PYTHONPATH on the TPU machine — append if needed)
 Writes ROOFLINE.json at the repo root; transfer the % column into
 KERNELS.md by hand (the rows there carry their own measured times).
 """
@@ -210,8 +211,11 @@ def main():
 
     fl, by = cost(chlac, grid)
     t = timed(chlac, grid, iters=256)
+    # compute peak as the denominator for the flop fraction; row() flips
+    # the label to hbm when the bytes fraction dominates (passing the
+    # HBM peak here would divide FLOP/s by bytes/s — unit garbage)
     row("features.colorchlac117", "128^3 grid", t, fl, by,
-        "hbm", PEAK_HBM)
+        "vpu", PEAK_VPU_F32)
 
     # ---- one GN ICP sweep (XLA matmul-heavy; cost analysis) ----
     from mapping_private_tpu.registration.icp import icp_point_to_plane

@@ -11,6 +11,7 @@ with the reference's own vendored libsvm fork compiled at test time
 """
 import glob
 import os
+import zlib
 import shutil
 import subprocess
 
@@ -52,14 +53,14 @@ def test_bundled_model_parity(model_path, oracle):
     scp = model_path[: -len(".model")] + ".scp"
     lower, upper, ranges = load_scale_params(scp)
     d = m.support_vectors.shape[1]
-    assert len(ranges) >= d or len(ranges) == d, (
-        f"{os.path.basename(scp)}: {len(ranges)} scale rows vs "
+    assert len(ranges) >= d, (
+        f"{os.path.basename(scp)}: only {len(ranges)} scale rows for "
         f"{d} SV channels")
 
     # raw-domain samples spanning (and 10% beyond) each channel's training
     # range, pushed through OUR .scp scaling — the oracle receives the
     # identical scaled values, so any disagreement is the predictor's
-    rng = np.random.default_rng(hash(os.path.basename(model_path)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(os.path.basename(model_path).encode()))
     span = ranges[:d, 1] - ranges[:d, 0]
     lo = ranges[:d, 0] - 0.1 * span
     hi = ranges[:d, 1] + 0.1 * span
