@@ -98,3 +98,43 @@ def test_tiled_segmented_matches_default():
     np.testing.assert_allclose(
         np.asarray(res_d.transform), np.asarray(se3_exp(xi)), atol=2e-3)
     assert int(res_s.num_corr) > 3500
+
+
+def test_tiled_sizing_syncs_once():
+    """RTT-discipline regression guard (the round-4 610→775 ms tiled-ICP
+    regression was ~6 interleaved blocking host reads in the sizing
+    path): icp_point_to_plane_tiled must reach its answer with exactly
+    ONE jax.device_get sync point before dispatching the solver."""
+    import jax
+    import jax.numpy as jnp
+
+    import mapping_private_tpu.registration.icp as icp_mod
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    xy = rng.uniform(0, 2.0, (n, 2))
+    z = 0.2 * np.sin(xy[:, 0] * 3)
+    tgt = np.column_stack([xy, z]).astype(np.float32)
+    src = (tgt + rng.normal(0, 0.005, tgt.shape)).astype(np.float32)
+    nrm = np.tile(np.asarray([0, 0, 1.0], np.float32), (n, 1))
+    mask = jnp.ones((n,), bool)
+
+    calls = []
+    real_device_get = jax.device_get
+
+    def counting_device_get(x):
+        calls.append(1)
+        return real_device_get(x)
+
+    orig = icp_mod.jax.device_get
+    icp_mod.jax.device_get = counting_device_get
+    try:
+        r = icp_mod.icp_point_to_plane_tiled(
+            jnp.asarray(src), mask, jnp.asarray(tgt), mask,
+            jnp.asarray(nrm), tile_size=0.25, iters=2)
+    finally:
+        icp_mod.jax.device_get = orig
+    assert len(calls) == 1, (
+        f"sizing used {len(calls)} blocking sync points (contract: 1 — "
+        f"each extra one costs a full tunnel RTT per call)")
+    assert float(r.rmse) < 0.02

@@ -134,3 +134,18 @@ class TestLatticeOccupancy:
             jnp.asarray(pts), jnp.zeros(64, bool), np.zeros(3, np.float32),
             0.1, np.asarray([4, 4, 4], np.int32))
         assert int(occ) == 0 and int(mx) == 0
+
+
+def test_lattice_overflow_guard_fires():
+    """A tiny radius over a huge extent must raise the int32-overflow
+    guard (round-4 advisor finding) instead of silently wrapping flat
+    cell keys into wrong-neighbor results."""
+    import jax.numpy as jnp
+    import pytest
+
+    from mapping_private_tpu.ops.nn_dispatch import nn_1nn
+
+    xyz = jnp.asarray([[0.0, 0.0, 0.0], [1e5, 1e5, 1e5]], jnp.float32)
+    mask = jnp.ones((2,), bool)
+    with pytest.raises(ValueError, match="cells"):
+        nn_1nn(xyz, mask, xyz, mask, radius=0.01, engine="compact")
