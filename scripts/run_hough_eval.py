@@ -191,7 +191,14 @@ def main():
                         num_hypotheses=512 if real else 2048,
                         circle_vote_density_min=1.0 if real else 0.0)
                     return hough_segment(cloud, key, cfg)
-                cfg = VotingConfig(mls_smoothing=real)
+                # synthetic recipe: a 6 cm cylinder wall sits right at
+                # the reference's 0.010 curvature-prune threshold (its
+                # gate keeps curvature > threshold; bigger radius =
+                # flatter wall) — 0.005 keeps wide cylinders cylindrical
+                # on every seed without changing any other scene
+                cfg = VotingConfig(
+                    mls_smoothing=real,
+                    curvature_threshold=0.010 if real else 0.005)
                 return segment_by_voting(cloud, key, cfg)[0]
 
             segs0 = run(0)
